@@ -1,0 +1,86 @@
+"""Consistent DAE initialization — Newton on the algebraic states.
+
+Port of the reference's `newtons_method!` (model_evaluation.jl:430-480):
+
+1. With YP = 0, iterate Newton on the algebraic sub-vector Y_alg using the
+   algebraic-algebraic Jacobian block (+ control row), damped-free, until
+   ‖ΔY‖ < reltol_init (≤ init_maxiter iterations).
+2. YP_diff ← differential residual evaluated at YP = 0 (the residual is
+   rhs − YP, so the residual at YP=0 *is* the rhs).
+3. Estimate YP_alg by a finite-difference probe: advance Y by Δt·YP, solve
+   the linearized algebraic system once, divide by Δt
+   (model_evaluation.jl:462-477) — improves BDF startup stability.
+
+Instead of raising after 100 iterations, a `converged` flag is returned so a
+diverging cell inside a vmapped batch cannot abort the whole batch.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import linsolve
+
+
+class InitResult(NamedTuple):
+    y: jax.Array
+    yp: jax.Array
+    converged: jax.Array
+    iterations: jax.Array
+
+
+def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
+                    maxiter=100, c_e0=1000.0,
+                    init_algebraic_derivatives=True) -> InitResult:
+    """F(t, y, yp) -> full residual (with control row). y0: initial guess."""
+    dtype = y0.dtype
+    n_tot = y0.shape[-1]
+    n_alg = n_tot - n_diff
+    yp0 = jnp.zeros_like(y0)
+
+    def alg_res(y_alg, y_diff):
+        y = jnp.concatenate([y_diff, y_alg])
+        return F(0.0, y, yp0)[n_diff:]
+
+    def body(carry):
+        it, y, dnorm, _lu = carry
+        y_diff, y_alg = y[:n_diff], y[n_diff:]
+        r = alg_res(y_alg, y_diff)
+        J = jax.jacfwd(alg_res)(y_alg, y_diff)
+        lu = linsolve.dense_factor(J)
+        step = linsolve.dense_solve(lu, r)
+        y_alg_new = y_alg - step
+        dnorm = jnp.linalg.norm(step)
+        return (it + 1, jnp.concatenate([y_diff, y_alg_new]), dnorm, lu)
+
+    def cond(carry):
+        it, y, dnorm, _lu = carry
+        return (it < maxiter) & (dnorm >= reltol_init)
+
+    # one unconditional iteration to materialize an LU for the carry
+    carry = body((jnp.asarray(0, jnp.int32), y0,
+                  jnp.asarray(jnp.inf, dtype), _dummy_lu(n_alg, dtype)))
+    it, y, dnorm, lu = jax.lax.while_loop(cond, body, carry)
+    converged = dnorm < reltol_init
+
+    # differential derivatives: residual rows at YP=0 equal the rhs
+    yp = jnp.zeros_like(y0)
+    r_full = F(0.0, y, yp)
+    yp = yp.at[:n_diff].set(r_full[:n_diff])
+
+    if init_algebraic_derivatives:
+        # finite-difference estimate of dY_alg/dt (model_evaluation.jl:462-477)
+        dt = jnp.maximum(10.0 * reltol_init,
+                         jnp.sqrt(jnp.finfo(dtype).eps * c_e0))
+        y_t = y + dt * yp
+        r_alg = F(dt, y_t, yp)[n_diff:]
+        yp = yp.at[n_diff:].set(-linsolve.dense_solve(lu, r_alg) / dt)
+
+    return InitResult(y=y, yp=yp, converged=converged, iterations=it)
+
+
+def _dummy_lu(n, dtype):
+    return (jnp.eye(n, dtype=dtype), jnp.arange(n, dtype=jnp.int32))
