@@ -1,0 +1,55 @@
+"""petlion_tpu — TPU-native porous-electrode-theory (P2D/DFN) battery
+simulation framework.
+
+A ground-up JAX/XLA/Pallas rebuild with the capabilities of PETLION.jl
+(github.com/MarcBerliner/PETLION.jl): the pseudo-2D Doyle-Fuller-Newman model
+as a sparse DAE, solved with an in-JAX adaptive variable-order BDF integrator,
+batched over cells with vmap/shard_map for TPU-scale parameter sweeps.
+
+Public API parity map (reference src/PETLION.jl:29-47):
+    petlion, simulate, simulate! (→ simulate_cont), solution (→ Solution),
+    final_exit_reason, exit_reasons, LCO, NMC, NMC_LGM50,
+    boundary_stop_conditions (→ Bounds), options_simulation (→ SimOptions),
+    discretizations_per_section (→ Discretizations), OCV_* / rxn_* / D_*_eff /
+    K_eff / thermodynamic_factor function families.
+"""
+
+from .config import (Bounds, Discretizations, Numerics, SimOptions,
+                     EXIT_REASONS)
+from .chemistry import LCO, NMC, NMC_LGM50
+from .layout import StateLayout
+from .physics import kinetics, ocv, transport
+from .physics.kinetics import rxn_BV, rxn_MHC, rxn_BV_gamma_mod_01, MHC_kfunc
+from .physics.ocv import (OCV_LCO, OCV_LiC6, OCV_NMC, OCV_LiC6_with_NMC,
+                          OCV_NMC_LGM50, OCV_LiC6_LGM50)
+from .physics.transport import (D_s_eff, D_s_eff_isothermal, rxn_rate,
+                                rxn_rate_isothermal, D_eff, D_eff_linear,
+                                D_eff_linear_one_term, K_eff, K_eff_isothermal,
+                                thermodynamic_factor,
+                                thermodynamic_factor_linear)
+from .physics.residuals import ModelConfig, calc_I1C, residual_core
+from .sim import Model, petlion, simulate, simulate_cont, default_dtype
+from .solution import Solution, RunResult
+
+
+def final_exit_reason(sol: Solution) -> str:
+    return sol.final_exit_reason()
+
+
+def exit_reasons(sol: Solution):
+    return sol.exit_reasons()
+
+
+__version__ = "0.1.0"
+__all__ = [
+    "petlion", "simulate", "simulate_cont", "Model", "Solution", "RunResult",
+    "Bounds", "Discretizations", "Numerics", "SimOptions", "StateLayout",
+    "ModelConfig", "LCO", "NMC", "NMC_LGM50", "residual_core", "calc_I1C",
+    "final_exit_reason", "exit_reasons", "EXIT_REASONS", "default_dtype",
+    "rxn_BV", "rxn_MHC", "rxn_BV_gamma_mod_01", "MHC_kfunc",
+    "OCV_LCO", "OCV_LiC6", "OCV_NMC", "OCV_LiC6_with_NMC", "OCV_NMC_LGM50",
+    "OCV_LiC6_LGM50", "D_s_eff", "D_s_eff_isothermal", "rxn_rate",
+    "rxn_rate_isothermal", "D_eff", "D_eff_linear", "D_eff_linear_one_term",
+    "K_eff", "K_eff_isothermal", "thermodynamic_factor",
+    "thermodynamic_factor_linear", "kinetics", "ocv", "transport",
+]

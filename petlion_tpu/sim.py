@@ -1,0 +1,304 @@
+"""Top-level user API: model factory + simulate.
+
+Mirrors the reference's public surface (PETLION.jl:29-47):
+
+    p   = petlion(LCO, N_p=10, ..., temperature=False, ...)   # model factory
+    sol = simulate(p, I=-1, SOC=1)                            # run
+    simulate!(sol, p, V="hold")  →  simulate(p, sol=sol, V="hold")
+
+Every `options_simulation` field and every stop bound is a per-call kwarg
+(model_evaluation.jl:11-49), and every θ parameter can be edited on
+`p.theta` between calls without recompilation (the reference's `update_θ!`
+contract) — θ enters the jitted core as a dynamic argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Bounds, Discretizations, Numerics, SimOptions
+from .chemistry import LCO
+from .layout import StateLayout
+from .physics.initial_guess import initial_guess
+from .physics.residuals import ModelConfig, calc_I1C
+from .solution import Solution, exit_reason_string
+from .solver import control as ctrl
+from .solver import events
+from .solver.run import run_once
+
+_BOUND_KEYS = ("V_max", "V_min", "SOC_max", "SOC_min", "T_max", "c_s_n_max",
+               "I_max", "I_min", "eta_plating_min", "c_e_min", "dfilm_max")
+_OPT_KEYS = ("outputs", "abstol", "reltol", "abstol_init", "reltol_init",
+             "maxiters", "check_bounds", "reinit", "verbose", "interp_final",
+             "interp_bc", "max_order", "max_save", "newton_maxiter",
+             "init_maxiter", "dt0", "dtmax")
+_METHOD_KEYS = ("I", "V", "P", "eta_p", "res", "dT",
+                "dc_s_p_max", "dc_s_p_min", "dc_s_n_max", "dc_s_n_min",
+                "dc_e_max", "dc_e_min", "T")
+
+
+@dataclasses.dataclass
+class Model:
+    """The `p` object: parameters + static model structure (reference
+    `model` struct, structures.jl:336-345)."""
+    theta: dict
+    bounds: Bounds
+    opts: SimOptions
+    N: Discretizations
+    numerics: Numerics
+    cfg: ModelConfig
+
+    @property
+    def layout(self) -> StateLayout:
+        return self.cfg.layout
+
+    @property
+    def I1C(self) -> float:
+        return float(calc_I1C(self._theta_dev()))
+
+    def _theta_dev(self, dtype=None):
+        dtype = dtype or default_dtype()
+        return {k: jnp.asarray(v, dtype) for k, v in self.theta.items()}
+
+    def __repr__(self):
+        n = self.numerics
+        return (f"PETLION-TPU model: {n.cathode} | {n.anode}\n"
+                f"  temperature={n.temperature} solid_diffusion="
+                f"{n.solid_diffusion} aging={n.aging}\n"
+                f"  N_tot={self.cfg.layout.N_tot} "
+                f"(diff {self.cfg.layout.N_diff}, alg {self.cfg.layout.N_alg})")
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def petlion(chemistry: Callable = LCO, **kwargs) -> Model:
+    """Model factory (reference external.jl:2-36). No codegen: the residual
+    is traced/compiled lazily by XLA on first simulate (and cached)."""
+    theta, bounds, opts, N, numerics = chemistry(**kwargs)
+    cfg = ModelConfig.build(N, numerics)
+    return Model(theta=theta, bounds=bounds, opts=opts, N=N,
+                 numerics=numerics, cfg=cfg)
+
+
+# ---------------------------------------------------------------------------
+# jitted core
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "opts", "is_rest",
+                                   "is_temperature_hold"))
+def _core(y_start, soc0, value, tf, th, bounds, prev_I, has_prev,
+          cfg, spec, opts, is_rest, is_temperature_hold):
+    return run_once(y_start=y_start, soc0=soc0, value=value, tf=tf, th=th,
+                    bounds=bounds, cfg=cfg, spec=spec, opts=opts,
+                    is_rest=is_rest, is_temperature_hold=is_temperature_hold,
+                    prev_I=prev_I, has_prev=has_prev)
+
+
+def _mean_T_host(yp, th, cfg):
+    return float(events._mean_T(jnp.asarray(yp)[cfg.layout.sl("T")], th, cfg))
+
+
+def _build_control(p: Model, sol: Optional[Solution], kwargs):
+    """Identify the control method and build (spec, value, flags)
+    (reference assess_input/get_run + input_method dispatch)."""
+    given = [k for k in _METHOD_KEYS if k in kwargs]
+    if len(given) != 1:
+        raise ValueError(
+            f"choose exactly one input from {_METHOD_KEYS}; got {given}")
+    name = given[0]
+    inp = kwargs.pop(name)
+    L = p.cfg.layout
+    is_rest = False
+    is_temperature_hold = False
+    value = 0.0
+
+    def last_Y():
+        if sol is None or not sol:
+            raise ValueError(f"cannot use 'hold' without a previous simulation")
+        return sol.Y_final
+
+    if name in ("I", "V", "P", "eta_p"):
+        if callable(inp):
+            spec = ctrl.ControlSpec(name, ctrl.normalize_func(inp))
+        elif isinstance(inp, str):
+            spec = ctrl.ControlSpec(name)
+            if inp == "rest":
+                if name not in ("I", "P"):
+                    raise ValueError(f"'rest' unsupported for {name}")
+                value = 0.0
+                is_rest = (name == "I")
+            elif inp == "hold":
+                y = last_Y()
+                th = p._theta_dev()
+                if name == "I":
+                    value = float(L.I(y))
+                elif name == "V":
+                    value = float(L.V(y))
+                elif name == "P":
+                    value = float(L.I(y) * calc_I1C(th) * L.V(y))
+                else:
+                    value = float(L.eta_plating(y))
+            else:
+                raise ValueError(f"unsupported input symbol {inp!r}")
+        else:
+            spec = ctrl.ControlSpec(name)
+            value = float(inp)
+    elif name in ("dT", "T"):
+        if not p.numerics.temperature:
+            raise ValueError("temperature must be enabled for dT/T control")
+        if name == "T" and inp != "hold":
+            raise ValueError("T only accepts 'hold'; use dT for protocols")
+        is_temperature_hold = True
+        cfg = p.cfg
+
+        def dT_meas(t, y, yp, th):
+            return events._mean_T(yp[cfg.layout.sl("T")], th, cfg)
+
+        if callable(inp):
+            f = ctrl.normalize_func(inp)
+            spec = ctrl.ControlSpec(
+                "res", lambda t, y, yp, th: dT_meas(t, y, yp, th) - f(t, y, yp, th))
+            value = 0.0
+        else:
+            spec = ctrl.ControlSpec("res", dT_meas)
+            value = 0.0 if inp == "hold" else float(inp)
+    elif name.startswith("dc_"):
+        # derivative-hold on the extremal node (input_methods.jl:195-247)
+        y_last = np.asarray(last_Y())
+        if name.startswith("dc_s"):
+            electrode = name[5]
+            idx_all = p.cfg.layout.c_s_surface_slice(electrode)
+        else:
+            s = p.cfg.layout.sl("c_e")
+            idx_all = np.arange(s.start, s.stop)
+        pick = np.argmax if name.endswith("max") else np.argmin
+        idx = int(idx_all[pick(y_last[idx_all])])
+
+        def deriv(t, y, yp, th, idx=idx):
+            return yp[idx]
+
+        spec = ctrl.ControlSpec("res", deriv)
+        value = 0.0 if (isinstance(inp, str) and inp == "hold") else float(inp)
+    elif name == "res":
+        if isinstance(inp, tuple):
+            value, f = float(inp[0]), ctrl.normalize_func(inp[1])
+        else:
+            value, f = 0.0, ctrl.normalize_func(inp)
+        spec = ctrl.ControlSpec("res", f)
+    else:  # pragma: no cover
+        raise ValueError(name)
+
+    return name, spec, value, is_rest, is_temperature_hold
+
+
+def simulate(p: Model,
+             tf: Union[float, list, np.ndarray, None] = None,
+             *,
+             sol: Optional[Solution] = None,
+             initial_states=None,
+             SOC: Optional[float] = None,
+             **kwargs) -> Solution:
+    """Run one control segment; continue a previous run by passing sol=.
+
+    Returns a (new or extended) Solution. Mirrors reference simulate /
+    simulate! (model_evaluation.jl:11-97).
+    """
+    dtype = default_dtype()
+    th = p._theta_dev(dtype)
+
+    # per-call bound overrides (dynamic)
+    bdict = events.bounds_dict(p.bounds)
+    for k in _BOUND_KEYS:
+        if k in kwargs:
+            bdict[k] = kwargs.pop(k)
+    bdict = {k: jnp.asarray(v, dtype) for k, v in bdict.items()}
+
+    # per-call option overrides (static)
+    opts = p.opts
+    overrides = {k: kwargs.pop(k) for k in list(kwargs) if k in _OPT_KEYS}
+    if "outputs" in overrides and isinstance(overrides["outputs"], (list, str)):
+        o = overrides["outputs"]
+        overrides["outputs"] = (o,) if isinstance(o, str) else tuple(o)
+    if overrides:
+        opts = opts.replace(**overrides)
+
+    name, spec, value, is_rest, is_th = _build_control(p, sol, kwargs)
+    if kwargs:
+        raise TypeError(f"unknown keyword arguments: {sorted(kwargs)}")
+
+    # time horizon: scalar => duration; vector => interpolation grid
+    t_grid = None
+    if tf is None:
+        tf_run = 1e6
+    elif np.ndim(tf) > 0:
+        t_grid = np.asarray(tf, float)
+        tf_run = float(t_grid[-1])
+    else:
+        tf_run = float(tf)
+
+    # initial state / continuation (model_evaluation.jl:195-209)
+    continuing = sol is not None and bool(sol)
+    if continuing and initial_states is not None:
+        raise ValueError("cannot set initial_states and continue a run")
+    if continuing:
+        y_start = jnp.asarray(sol.Y_final, dtype)
+        soc0 = jnp.asarray(sol.SOC_final, dtype)
+        prev_I = p.cfg.layout.I(y_start)
+        has_prev = jnp.asarray(True)
+        t_offset = float(sol.t[-1]) + 1e-12
+    elif initial_states is not None:
+        y_start = jnp.asarray(initial_states, dtype)
+        soc0 = p.cfg.layout.soc_from_state(y_start, th)
+        prev_I = p.cfg.layout.I(y_start)
+        has_prev = jnp.asarray(True)
+        t_offset = 0.0
+    else:
+        soc0 = jnp.asarray(p.opts.SOC if SOC is None else SOC, dtype)
+        y_start = initial_guess(soc0, th, p.cfg, dtype)
+        prev_I = jnp.asarray(0.0, dtype)
+        has_prev = jnp.asarray(False)
+        t_offset = 0.0
+
+    res = _core(y_start, soc0, jnp.asarray(value, dtype),
+                jnp.asarray(tf_run, dtype), th, bdict, prev_I, has_prev,
+                p.cfg, spec, opts, is_rest, is_th)
+
+    n_saved = int(res.n_saved)
+    flag = int(res.flag)
+    host_bufs = {k: np.asarray(v) for k, v in res.bufs.items()}
+    meta = dict(
+        method=name,
+        input_repr=repr(value) if spec.func is None else "function",
+        tspan=(t_offset, t_offset + float(res.t_final)),
+        flag=flag,
+        exit_reason=exit_reason_string(flag),
+        n_steps=int(res.n_steps),
+        n_rejected=int(res.n_rejected),
+        init_converged=bool(res.init_converged),
+    )
+    out = sol if continuing else Solution()
+    out.append_run(host_bufs, n_saved, t_offset, meta,
+                   res.y_final, res.yp_final, res.soc_final)
+    if opts.verbose:
+        print(out)
+    if flag == -2:
+        import warnings
+        warnings.warn(f"solver failure in run {name} "
+                      f"(init_converged={meta['init_converged']}, "
+                      f"steps={meta['n_steps']})")
+    if t_grid is not None:
+        return out(t_grid, interp_bc=opts.interp_bc)
+    return out
+
+
+def simulate_cont(sol: Solution, p: Model, tf=None, **kwargs) -> Solution:
+    """`simulate!` equivalent: continue `sol` in place."""
+    return simulate(p, tf, sol=sol, **kwargs)

@@ -1,0 +1,170 @@
+"""Solution container — host-side, append-across-runs.
+
+Replaces the reference's metaprogrammed `solution_states` struct + run
+bookkeeping (outputs.jl:96-105, structures.jl:369-399, save_outputs.jl).
+Saved quantities accumulate across chained runs; `results` holds one
+RunResult per run (tspan, exit flag/reason, iteration counts, run_index
+slice) so `sol[i]` and exit-reason accessors behave like the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config import EXIT_REASONS, EXIT_FAILED
+
+
+def exit_reason_string(flag: int) -> str:
+    if flag == EXIT_FAILED:
+        return "Solver failure"
+    if flag == -1:
+        return ""
+    if 0 <= flag < len(EXIT_REASONS):
+        return EXIT_REASONS[flag]
+    return f"Unknown exit flag {flag}"
+
+
+@dataclasses.dataclass
+class RunResult:
+    method: str
+    input_repr: str
+    tspan: tuple
+    flag: int
+    exit_reason: str
+    n_steps: int
+    n_rejected: int
+    run_index: slice          # rows of the solution arrays for this run
+    init_converged: bool = True
+
+
+@dataclasses.dataclass
+class Solution:
+    arrays: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    results: List[RunResult] = dataclasses.field(default_factory=list)
+    Y_final: Optional[np.ndarray] = None
+    YP_final: Optional[np.ndarray] = None
+    SOC_final: float = 0.0
+
+    # -- container protocol --------------------------------------------------
+
+    def __len__(self):
+        return len(self.results)
+
+    def __bool__(self):
+        return len(self.results) > 0
+
+    def __getattr__(self, name):
+        arrays = object.__getattribute__(self, "arrays")
+        if name in arrays:
+            return arrays[name]
+        raise AttributeError(name)
+
+    def __getitem__(self, i) -> "Solution":
+        """Per-run view, like the reference's `sol[i]` (structures.jl:382-399)."""
+        res = self.results[i]
+        sub = Solution(
+            arrays={k: v[res.run_index] for k, v in self.arrays.items()},
+            results=[dataclasses.replace(
+                res, run_index=slice(0, res.run_index.stop - res.run_index.start))],
+            Y_final=self.Y_final, YP_final=self.YP_final,
+            SOC_final=self.SOC_final)
+        return sub
+
+    # -- appending -----------------------------------------------------------
+
+    def append_run(self, host_bufs: Dict[str, np.ndarray], n_saved: int,
+                   t_offset: float, result_meta: dict,
+                   y_final, yp_final, soc_final):
+        start = len(self.arrays.get("t", ()))
+        for k, buf in host_bufs.items():
+            seg = np.array(buf[:n_saved])
+            if k == "t":
+                seg = seg + t_offset
+            if k in self.arrays:
+                self.arrays[k] = np.concatenate([self.arrays[k], seg], axis=0)
+            else:
+                if start != 0:
+                    raise ValueError(
+                        f"output '{k}' not recorded in earlier runs; chained "
+                        f"runs must request compatible outputs")
+                self.arrays[k] = seg
+        stop = start + n_saved
+        rr = RunResult(run_index=slice(start, stop), **result_meta)
+        self.results.append(rr)
+        self.Y_final = np.array(y_final)
+        self.YP_final = np.array(yp_final)
+        self.SOC_final = float(soc_final)
+        return self
+
+    # -- accessors (checks.jl:393-408) ----------------------------------------
+
+    def final_exit_reason(self) -> str:
+        assert self.results, "empty solution"
+        return self.results[-1].exit_reason
+
+    def exit_reasons(self) -> List[str]:
+        return [r.exit_reason for r in self.results]
+
+    # -- interpolation (save_outputs.jl:60-133) -------------------------------
+
+    def __call__(self, t_query, interp_bc: str = "interpolate"):
+        """Re-interpolate saved outputs onto arbitrary times.
+
+        Cubic-Hermite when YP was saved (we know derivatives), else cubic
+        spline via the native runtime when available, falling back to
+        numpy linear interpolation per run segment.
+        """
+        t_query = np.atleast_1d(np.asarray(t_query, dtype=float))
+        out = Solution(results=self.results, Y_final=self.Y_final,
+                       YP_final=self.YP_final, SOC_final=self.SOC_final)
+        tspans = [ (self.t[r.run_index][0], self.t[r.run_index][-1])
+                   for r in self.results ]
+
+        def seg_of(tq):
+            for i, (a, b) in enumerate(tspans):
+                if a <= tq <= b:
+                    return i
+            return 0 if tq < tspans[0][0] else len(tspans) - 1
+
+        seg_idx = np.array([seg_of(tq) for tq in t_query])
+        from .utils.interp import spline_interp
+        for k, v in self.arrays.items():
+            if k == "t":
+                out.arrays[k] = t_query
+                continue
+            res = np.empty(t_query.shape + v.shape[1:], dtype=v.dtype)
+            for i, r in enumerate(self.results):
+                m = seg_idx == i
+                if not m.any():
+                    continue
+                tt = self.t[r.run_index]
+                vv = v[r.run_index]
+                res[m] = spline_interp(tt, vv, t_query[m],
+                                       extrapolate=(interp_bc == "extrapolate"))
+            out.arrays[k] = res
+        return out
+
+    # -- pretty printing (structures.jl:678-746) -------------------------------
+
+    def __repr__(self):
+        if not self.results:
+            return "PETLION-TPU solution: (empty)"
+        runs = " → ".join(r.method for r in self.results)
+        t_end = self.arrays["t"][-1] if "t" in self.arrays else float("nan")
+        lines = [
+            "PETLION-TPU simulation",
+            " --------",
+            f" Runs:    {runs}",
+            f" Time:    {t_end:.6g} s",
+        ]
+        for label, key, fmt in (("Current", "I", "{:.4g}C"),
+                                ("Voltage", "V", "{:.4f} V"),
+                                ("Power", "P", "{:.4f} W/m²"),
+                                ("SOC", "SOC", "{:.4f}")):
+            if key in self.arrays and len(self.arrays[key]):
+                lines.append(f" {label}: " + fmt.format(self.arrays[key][-1]))
+        lines.append(f" Exit:    {self.final_exit_reason()}")
+        return "\n".join(lines)

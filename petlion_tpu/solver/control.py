@@ -88,7 +88,14 @@ def measured(spec: ControlSpec, y, th, cfg: ModelConfig):
 
 
 def scalar_residual(spec: ControlSpec, value, t, y, yp, th, cfg: ModelConfig):
-    """res[end] = measured(Y) - setpoint (scalar_residual.jl:167-172)."""
+    """res[end] = measured(Y) - setpoint (scalar_residual.jl:167-172).
+
+    method "res" (run_residual): the row is `value - func(t,Y,YP,θ)`
+    (custom_res! semantics, model_evaluation.jl:155-170) — used for the
+    derivative-hold modes dT / dc_s_* / dc_e_* and arbitrary user residuals.
+    """
+    if spec.method == "res":
+        return value - spec.func(t, y, yp, th)
     return measured(spec, y, th, cfg) - control_value(spec, value, t, y, yp, th)
 
 

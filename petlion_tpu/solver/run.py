@@ -1,0 +1,274 @@
+"""Single-run driver: consistent init → BDF loop → events → back-interp.
+
+The in-jit counterpart of the reference's run machinery
+(model_evaluation.jl: initialize_simulation! :174-232, solve! :312-333,
+exit_simulation!/interp_final_points! :335-382). One call = one "run" (one
+control mode, like one `simulate` in the reference); protocol chaining either
+re-enters (host chaining, like `simulate!`) or uses solver.protocol for
+fully-in-jit multi-step protocols.
+
+Everything here is a pure function of (y_start, soc0, value, tf, θ, bounds)
+given static (cfg, spec, opts) — so it jits once per model/method/options and
+vmaps over cells for batched sweeps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EXIT_SIMULATING, EXIT_FAILED, SimOptions
+from ..physics.initial_guess import initial_guess
+from ..physics.residuals import ModelConfig, calc_I1C
+from . import bdf, control, events, linsolve
+from .newton import consistent_init
+
+# outputs that can be recorded per accepted step; scalars are always kept
+SCALAR_OUTPUTS = ("t", "V", "I", "P", "SOC")
+VECTOR_OUTPUTS = ("c_e", "c_s_avg", "T", "film", "Q", "j", "j_s",
+                  "Phi_e", "Phi_s", "SOH", "Y", "YP")
+
+
+class RunnerState(NamedTuple):
+    bdf: bdf.BDFState
+    soc: jax.Array
+    prev: events.BoundsPrev
+    flag: jax.Array
+    save_idx: jax.Array
+    bufs: dict
+    y_prev: jax.Array
+    yp_prev: jax.Array
+    t_prev: jax.Array
+    soc_prev: jax.Array
+
+
+class RunResultDev(NamedTuple):
+    """Device-side result of one run."""
+    bufs: dict
+    n_saved: jax.Array
+    flag: jax.Array
+    y_final: jax.Array
+    yp_final: jax.Array
+    soc_final: jax.Array
+    t_final: jax.Array
+    n_steps: jax.Array
+    n_rejected: jax.Array
+    init_converged: jax.Array
+
+
+def _vector_outputs(opts: SimOptions, cfg: ModelConfig):
+    L = cfg.layout
+    want_all = "all" in opts.outputs
+    outs = []
+    for name in VECTOR_OUTPUTS:
+        present = name in ("Y", "YP") or name in L
+        if present and (want_all or name in opts.outputs):
+            outs.append(name)
+    return tuple(outs)
+
+
+def _record(bufs, idx, t, y, yp, soc, th, cfg: ModelConfig, vec_outs):
+    L = cfg.layout
+    V = L.V(y)
+    I = L.I(y)
+    upd = dict(bufs)
+    upd["t"] = bufs["t"].at[idx].set(t)
+    upd["V"] = bufs["V"].at[idx].set(V)
+    upd["I"] = bufs["I"].at[idx].set(I)
+    upd["P"] = bufs["P"].at[idx].set(I * calc_I1C(th) * V)
+    upd["SOC"] = bufs["SOC"].at[idx].set(soc)
+    for name in vec_outs:
+        if name == "Y":
+            val = y
+        elif name == "YP":
+            val = yp
+        else:
+            val = L.get(y, name)
+        upd[name] = bufs[name].at[idx].set(val)
+    return upd
+
+
+def _make_bufs(opts: SimOptions, cfg: ModelConfig, vec_outs, dtype):
+    n = opts.max_save
+    L = cfg.layout
+    bufs = {k: jnp.zeros((n,), dtype) for k in SCALAR_OUTPUTS}
+    for name in vec_outs:
+        if name in ("Y", "YP"):
+            m = L.N_tot
+        else:
+            s = L.sl(name)
+            m = s.stop - s.start
+        bufs[name] = jnp.zeros((n, m), dtype)
+    return bufs
+
+
+def initial_current_guess(spec: control.ControlSpec, value, y0, soc0, th,
+                          cfg: ModelConfig, prev_I, has_prev):
+    """Seed Y0[I] per control method (input_methods.jl).
+
+    `prev_I` / `has_prev` implement the continuation branches (reuse the last
+    current when chaining runs).
+    """
+    L = cfg.layout
+    m = spec.method
+    v0 = control.control_value(spec, value, 0.0, y0, jnp.zeros_like(y0), th)
+    if m == "I":
+        I_guess = v0
+    elif m == "P":
+        I_guess = jnp.where(has_prev, prev_I,
+                            v0 / (L.V(y0) * calc_I1C(th)))
+    elif m in ("V", "eta_p"):
+        ocv = L.V(y0)
+        sign_guess = jnp.where(v0 > ocv, 1.0, -1.0)
+        I_guess = jnp.where(has_prev & (prev_I != 0), prev_I, sign_guess)
+    else:  # res
+        I_guess = jnp.where(has_prev, prev_I, 1.0)
+    return y0.at[L.sl("I").start].set(I_guess)
+
+
+def run_once(*,
+             y_start, soc0, value, tf, th, bounds: dict,
+             cfg: ModelConfig, spec: control.ControlSpec, opts: SimOptions,
+             is_rest: bool = False, is_temperature_hold: bool = False,
+             prev_I=None, has_prev=None,
+             linear_solver=None) -> RunResultDev:
+    """Execute one run. `y_start=None`-like fresh starts are handled by the
+    caller passing the initial guess; here y_start is always a concrete state
+    vector whose algebraic part is re-initialized by Newton.
+    """
+    L = cfg.layout
+    dtype = y_start.dtype
+    nd = L.N_diff
+
+    factor, solve = (linsolve.dense_factor, linsolve.dense_solve) \
+        if linear_solver is None else linear_solver
+
+    def F(t, y, yp):
+        return control.full_residual(spec, value, t, y, yp, th, cfg)
+
+    if prev_I is None:
+        prev_I = jnp.asarray(0.0, dtype)
+        has_prev = jnp.asarray(False)
+
+    # ---- consistent initialization -----------------------------------------
+    y0 = initial_current_guess(spec, value, y_start, soc0, th, cfg,
+                               prev_I, has_prev)
+    init = consistent_init(F, y0, nd,
+                           reltol_init=opts.reltol_init_,
+                           maxiter=opts.init_maxiter,
+                           c_e0=float(1000.0))
+    y0, yp0 = init.y, init.yp
+
+    # ---- integrator setup ---------------------------------------------------
+    h0 = (opts.dt0 if opts.dt0 is not None
+          else bdf.initial_step_size(y0, yp0, opts.abstol, opts.reltol, tf))
+    state0 = bdf.bdf_init(0.0, y0, yp0, h0)
+
+    def jac_and_factor(t, y_pred, c0, psi_over_h):
+        const = psi_over_h - c0 * y_pred
+
+        def composed(y):
+            return F(t, y, c0 * y + const)
+
+        return factor(jax.jacfwd(composed)(y_pred))
+
+    hmax = opts.dtmax if opts.dtmax is not None else float("inf")
+    step = bdf.make_stepper(F, jac_and_factor, solve,
+                            opts.abstol, opts.reltol,
+                            newton_maxiter=opts.newton_maxiter, hmax=hmax)
+
+    vec_outs = _vector_outputs(opts, cfg)
+    bufs = _make_bufs(opts, cfg, vec_outs, dtype)
+
+    # record the initial point + t=0 bound check (model_evaluation.jl:225-230)
+    bufs = _record(bufs, 0, jnp.asarray(0.0, dtype), y0, yp0, soc0, th, cfg,
+                   vec_outs)
+    prev0 = events.BoundsPrev.init(dtype)
+    flag0 = jnp.asarray(EXIT_SIMULATING, jnp.int32)
+    prev0, flag0 = events.check_stop(
+        jnp.asarray(0.0, dtype), y0, yp0, soc0, prev0, flag0, bounds, th, cfg,
+        spec.method, reltol=opts.reltol, tf=tf,
+        check_bounds=opts.check_bounds, is_rest=is_rest,
+        is_temperature_hold=is_temperature_hold)
+    flag0 = jnp.where(~init.converged, EXIT_FAILED, flag0)
+
+    rs0 = RunnerState(
+        bdf=state0, soc=jnp.asarray(soc0, dtype), prev=prev0, flag=flag0,
+        save_idx=jnp.asarray(1, jnp.int32), bufs=bufs,
+        y_prev=y0, yp_prev=yp0, t_prev=jnp.asarray(0.0, dtype),
+        soc_prev=jnp.asarray(soc0, dtype))
+
+    max_iters = min(opts.maxiters, opts.max_save - 1)
+
+    def cond(rs: RunnerState):
+        return ((rs.flag == EXIT_SIMULATING)
+                & (rs.bdf.t < tf)
+                & (rs.bdf.status == bdf.OK)
+                & (rs.save_idx < max_iters + 1))
+
+    def body(rs: RunnerState):
+        y_prev = rs.bdf.D[0]
+        yp_prev = rs.bdf.yp
+        t_prev = rs.bdf.t
+        soc_prev = rs.soc
+
+        st = step(rs.bdf, tf)
+        y = st.D[0]
+        yp = st.yp
+        t = st.t
+
+        # trapezoidal SOC update (scalar_residual.jl:103-111)
+        soc = rs.soc + 0.5 * (t - t_prev) * (L.I(y) + L.I(y_prev)) / 3600.0
+
+        bufs = _record(rs.bufs, rs.save_idx, t, y, yp, soc, th, cfg, vec_outs)
+        prev, flag = events.check_stop(
+            t, y, yp, soc, rs.prev, rs.flag, bounds, th, cfg, spec.method,
+            reltol=opts.reltol, tf=tf, check_bounds=opts.check_bounds,
+            is_rest=is_rest, is_temperature_hold=is_temperature_hold)
+        flag = jnp.where(st.status != bdf.OK, EXIT_FAILED, flag)
+
+        return RunnerState(
+            bdf=st, soc=soc, prev=prev, flag=flag,
+            save_idx=rs.save_idx + 1, bufs=bufs,
+            y_prev=y_prev, yp_prev=yp_prev, t_prev=t_prev,
+            soc_prev=soc_prev)
+
+    rs = jax.lax.while_loop(cond, body, rs0)
+
+    # ---- exit handling -------------------------------------------------------
+    flag = rs.flag
+    # ran out of iterations / buffer without hitting any condition
+    flag = jnp.where(flag == EXIT_SIMULATING,
+                     jnp.where(rs.bdf.t >= tf, 0, EXIT_FAILED), flag)
+
+    y_last = rs.bdf.D[0]
+    yp_last = rs.bdf.yp
+    t_last = rs.bdf.t
+    soc_last = rs.soc
+    last_idx = rs.save_idx - 1
+
+    # back-interpolate the final point to the bound crossing
+    # (interp_final_points!, model_evaluation.jl:369-382)
+    do_interp = (opts.interp_final & (flag > 0) & (t_last > 1.0)
+                 & (rs.save_idx > 1))
+    frac = rs.prev.t_frac
+    y_f = jnp.where(do_interp, rs.y_prev + frac * (y_last - rs.y_prev), y_last)
+    yp_f = jnp.where(do_interp, rs.yp_prev + frac * (yp_last - rs.yp_prev),
+                     yp_last)
+    t_f = jnp.where(do_interp, rs.t_prev + frac * (t_last - rs.t_prev), t_last)
+    soc_f = jnp.where(
+        do_interp,
+        rs.soc_prev + 0.5 * (t_f - rs.t_prev) * (L.I(y_f) + L.I(rs.y_prev)) / 3600.0,
+        soc_last)
+
+    bufs = jax.tree_util.tree_map(lambda b: b, rs.bufs)
+    bufs = _record(bufs, last_idx, t_f, y_f, yp_f, soc_f, th, cfg, vec_outs)
+
+    return RunResultDev(
+        bufs=bufs, n_saved=rs.save_idx, flag=flag,
+        y_final=y_f, yp_final=yp_f, soc_final=soc_f, t_final=t_f,
+        n_steps=rs.bdf.n_steps, n_rejected=rs.bdf.n_rejected,
+        init_converged=init.converged)
