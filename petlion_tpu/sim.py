@@ -221,8 +221,11 @@ def simulate(p: Model,
             bdict[k] = kwargs.pop(k)
     bdict = {k: jnp.asarray(v, dtype) for k, v in bdict.items()}
 
-    # per-call option overrides (static)
+    # per-call option overrides (static); continuations inherit the previous
+    # run's output selection (reference simulate!, model_evaluation.jl:87-97)
     opts = p.opts
+    if sol is not None and bool(sol) and getattr(sol, "_outputs", None):
+        opts = opts.replace(outputs=sol._outputs)
     overrides = {k: kwargs.pop(k) for k in list(kwargs) if k in _OPT_KEYS}
     if "outputs" in overrides and isinstance(overrides["outputs"], (list, str)):
         o = overrides["outputs"]
@@ -287,6 +290,7 @@ def simulate(p: Model,
     out = sol if continuing else Solution()
     out.append_run(host_bufs, n_saved, t_offset, meta,
                    res.y_final, res.yp_final, res.soc_final)
+    out._outputs = opts.outputs
     if opts.verbose:
         print(out)
     if flag == -2:

@@ -79,6 +79,11 @@ class Solution:
                    t_offset: float, result_meta: dict,
                    y_final, yp_final, soc_final):
         start = len(self.arrays.get("t", ()))
+        missing = set(self.arrays) - set(host_bufs)
+        if missing:
+            raise ValueError(
+                f"continuation run did not record outputs {sorted(missing)} "
+                f"present in earlier runs; pass matching outputs=")
         for k, buf in host_bufs.items():
             seg = np.array(buf[:n_saved])
             if k == "t":

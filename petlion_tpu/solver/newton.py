@@ -43,7 +43,16 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
 
     def alg_res(y_alg, y_diff):
         y = jnp.concatenate([y_diff, y_alg])
-        return F(0.0, y, yp0)[n_diff:]
+        r = F(0.0, y, yp0)
+        # Controls that reference YP (dT / dc_* holds, user residuals) would
+        # see yp=0 here and leave the scalar row unconstrained. The reference
+        # substitutes YP_diff -> residual RHS inside the scalar row for
+        # initialization (scalar_residual.jl:347-365); since res = rhs - yp,
+        # the rhs at yp=0 IS the residual, so one extra evaluation with
+        # yp_diff := r_diff reproduces that substitution exactly.
+        yp_eff = yp0.at[:n_diff].set(r[:n_diff])
+        r2 = F(0.0, y, yp_eff)
+        return jnp.concatenate([r[n_diff:-1], r2[-1:]])
 
     def body(carry):
         it, y, dnorm, _lu = carry
