@@ -1,0 +1,90 @@
+"""Benchmark: batched full P2D 1C discharges per second on TPU.
+
+Headline metric, matching BASELINE.md's throughput target: complete LCO
+isothermal 1C CC discharges (301-DAE cells, SOC 1 → V_min/SOC_min exit, the
+reference's getting_started benchmark config) per wall-clock second, batched
+over cells with perturbed parameters.
+
+vs_baseline compares against the reference's single-cell rate: PETLION.jl's
+BenchmarkTools median of 2.616 ms/discharge on one laptop core
+(examples/getting_started.ipynb) → 382.3 discharges/s.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RATE = 1000.0 / 2.616   # discharges/s, reference median
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", False)  # f32: TPU-native dtype
+    import jax.numpy as jnp
+
+    import petlion_tpu as pt
+    from petlion_tpu.parallel.batch import batch_simulate
+
+    platform = jax.devices()[0].platform
+    n_dev = len(jax.devices())
+
+    # f32 needs a realistic absolute tolerance (1e-6 is below the f32 noise
+    # floor of the linear solves); accuracy vs f64 is checked in tests.
+    p = pt.petlion(pt.LCO)
+    p.opts = p.opts.replace(abstol=1e-3, reltol=1e-3, max_save=2,
+                            maxiters=500)
+    # outputs minimal: the bench measures solver throughput, not IO
+
+    B = 512 if platform != "cpu" else 32
+    rng = np.random.default_rng(0)
+    theta_batch = {
+        # ±5% spread on key transport/kinetic parameters (GITT-style sweep)
+        "D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B)),
+        "D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)),
+        "k_p": 2.334e-11 * (1 + 0.05 * rng.standard_normal(B)),
+        "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B)),
+    }
+
+    def run():
+        res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
+                             theta_batch=theta_batch,
+                             outputs=("t", "V"))
+        jax.block_until_ready(res.flag)
+        return res
+
+    # warmup/compile
+    t0 = time.time()
+    res = run()
+    compile_s = time.time() - t0
+
+    flags = np.asarray(res.flag)
+    ok = np.isin(flags, (0, 1, 3)).mean()   # tf / V_min / SOC_min exits
+
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        res = run()
+    dt = (time.time() - t0) / reps
+
+    rate = B / dt
+    out = {
+        "metric": "batched_p2d_1c_discharges_per_s",
+        "value": round(rate, 2),
+        "unit": "discharges/s",
+        "vs_baseline": round(rate / REFERENCE_RATE, 3),
+        "batch": B,
+        "platform": platform,
+        "devices": n_dev,
+        "wall_s_per_batch": round(dt, 3),
+        "compile_s": round(compile_s, 1),
+        "completed_frac": round(float(ok), 3),
+        "mean_steps": int(np.asarray(res.n_steps).mean()),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

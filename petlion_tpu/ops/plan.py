@@ -1,0 +1,89 @@
+"""Jacobian/solver plan: sparsity detection + coloring + structured solve.
+
+Created once per model config (host-side, CPU, f64), then passed as a static
+argument into the jitted run — the TPU analogue of the reference's offline
+symbolic codegen + sparsity caching (generate_functions.jl:102-164, the
+`saved_models/` disk cache): here the XLA compilation cache plays the role of
+the disk cache and the plan holds only the static index/coloring metadata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..physics.initial_guess import initial_guess
+from ..physics.residuals import ModelConfig, residual_core
+from .jacobian import ColoredJacobian, detect_sparsity
+from .structured import make_schur_solver, make_split, schur_factor_from_dense, schur_solve
+
+
+class JacobianPlan:
+    """Hashable-by-identity bundle: coloring + structured factor/solve."""
+
+    def __init__(self, cfg: ModelConfig, pattern: np.ndarray,
+                 use_schur: bool = True):
+        self.cfg = cfg
+        self.colored = ColoredJacobian(pattern)
+        self.split = make_split(cfg.layout)
+        self.use_schur = use_schur
+        if use_schur:
+            self.factor, self.solve = make_schur_solver(cfg.layout)
+        else:
+            from ..solver import linsolve
+            self.factor = linsolve.equilibrated_factor
+            self.solve = linsolve.equilibrated_solve
+
+    @property
+    def n_colors(self):
+        return self.colored.n_colors
+
+
+_PLAN_CACHE: dict = {}
+
+
+def get_plan(cfg: ModelConfig, theta: dict, use_schur: bool = True,
+             use_colors: bool = True) -> JacobianPlan:
+    key = (cfg, tuple(sorted(theta.keys())), use_schur)
+    if key in _PLAN_CACHE:
+        return _PLAN_CACHE[key]
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        th = {k: jnp.asarray(float(v), jnp.float64) for k, v in theta.items()}
+        L = cfg.layout
+        rng = np.random.default_rng(7)
+
+        def sample(soc, i_val, seed):
+            y = np.asarray(initial_guess(soc, th, cfg, jnp.float64)).copy()
+            r = np.random.default_rng(seed)
+            y *= (1.0 + 0.05 * r.standard_normal(y.shape))
+            # keep strictly positive concentrations, generic potentials
+            y[L.sl("Phi_e")] = 0.01 * r.standard_normal(
+                y[L.sl("Phi_e")].shape)
+            y[L.sl("j")] = 1e-6 * r.standard_normal(y[L.sl("j")].shape)
+            if "j_s" in L:
+                y[L.sl("j_s")] = -1e-7 * r.random(y[L.sl("j_s")].shape)
+            if "film" in L:
+                y[L.sl("film")] = 1e-9 * r.random(y[L.sl("film")].shape)
+            y[L.sl("I").start] = i_val
+            yp = 1e-3 * r.standard_normal(y.shape)
+            return jnp.asarray(y), jnp.asarray(yp)
+
+        ys, yps, ts = [], [], []
+        for soc, ival, seed, t in ((0.41, 0.7, 1, 13.7), (0.83, -0.6, 2, 507.1)):
+            y, yp = sample(soc, ival, seed)
+            ys.append(y)
+            yps.append(yp)
+            ts.append(t)
+
+        def F(t, y, yp):
+            return residual_core(t, y, yp, th, cfg)
+
+        pattern = detect_sparsity(F, ys, yps, ts, L.N_diff)
+
+    plan = JacobianPlan(cfg, pattern, use_schur=use_schur)
+    _PLAN_CACHE[key] = plan
+    return plan

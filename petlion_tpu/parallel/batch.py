@@ -1,0 +1,148 @@
+"""Batched (data-parallel) simulation over cells.
+
+The TPU-native answer to the reference's manual parameter-sweep loops
+(examples/updating_parameters.ipynb, examples/GITT.ipynb): the whole run —
+consistent init, adaptive BDF stepping with per-cell step size/order, event
+handling, output recording — is one pure function, so a fleet of cells is
+just `vmap`, and multi-chip scale-out is a `NamedSharding` over the batch
+axis of a `jax.sharding.Mesh`. There is no cross-cell coupling, so XLA
+inserts zero collectives in the hot loop; ICI traffic appears only in user
+reductions (e.g. parameter-estimation losses).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimOptions
+from ..physics.initial_guess import initial_guess
+from ..physics.residuals import ModelConfig
+from ..sim import Model, default_dtype, _build_control
+from ..solver import events
+from ..solver.run import run_once
+
+
+def _in_axes_for(th, th_batched_keys):
+    return {k: (0 if k in th_batched_keys else None) for k in th}
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec", "opts", "is_rest",
+                                   "is_temperature_hold", "th_axes",
+                                   "bound_axes", "value_axis", "soc_axis",
+                                   "jac_plan"))
+def _batch_core(y_start, soc0, value, tf, th, bounds,
+                cfg, spec, opts, is_rest, is_temperature_hold,
+                th_axes, bound_axes, value_axis, soc_axis, jac_plan=None):
+    def one(y0, soc, val, th_, bd_):
+        return run_once(y_start=y0, soc0=soc, value=val, tf=tf, th=th_,
+                        bounds=bd_, cfg=cfg, spec=spec, opts=opts,
+                        is_rest=is_rest,
+                        is_temperature_hold=is_temperature_hold,
+                        jac_plan=jac_plan)
+
+    in_axes = (0, soc_axis, value_axis, dict(th_axes), dict(bound_axes))
+    return jax.vmap(one, in_axes=in_axes)(y_start, soc0, value, th, bounds)
+
+
+def batch_simulate(p: Model,
+                   tf: float = 1e6,
+                   *,
+                   n_cells: Optional[int] = None,
+                   theta_batch: Optional[dict] = None,
+                   SOC=None,
+                   value_batch=None,
+                   mesh: Optional[Mesh] = None,
+                   axis_name: str = "cells",
+                   fast_solver: bool = True,
+                   **kwargs):
+    """Run the same control segment over a batch of cells.
+
+    theta_batch: dict of θ overrides with a leading batch dim (other θ keys
+    broadcast). SOC / value_batch may be scalars or (B,) arrays. With `mesh`,
+    the batch axis is sharded over the mesh's `axis_name` dimension (pure DP
+    over ICI).
+
+    Returns the device-side RunResultDev with a leading batch axis.
+    """
+    dtype = default_dtype()
+    th = p._theta_dev(dtype)
+    th_axes = {}
+    if theta_batch:
+        sizes = {np.shape(v)[0] for v in theta_batch.values()}
+        assert len(sizes) == 1, "inconsistent batch sizes in theta_batch"
+        B = sizes.pop()
+        for k, v in theta_batch.items():
+            th[k] = jnp.asarray(v, dtype)
+        th_axes = frozenset(theta_batch.keys())
+    else:
+        assert n_cells is not None, "need n_cells or theta_batch"
+        B = n_cells
+    th_axes_t = tuple(sorted((k, 0 if k in th_axes else None) for k in th))
+
+    bdict = events.bounds_dict(p.bounds)
+    from ..sim import _BOUND_KEYS
+    for k in _BOUND_KEYS:
+        if k in kwargs:
+            bdict[k] = kwargs.pop(k)
+    bound_axes_t = tuple(sorted(
+        (k, 0 if np.ndim(v) > 0 else None) for k, v in bdict.items()))
+    bdict = {k: jnp.asarray(v, dtype) for k, v in bdict.items()}
+
+    opts = p.opts
+    from ..sim import _OPT_KEYS
+    overrides = {k: kwargs.pop(k) for k in list(kwargs) if k in _OPT_KEYS}
+    if "outputs" in overrides:
+        o = overrides["outputs"]
+        overrides["outputs"] = (o,) if isinstance(o, str) else tuple(o)
+    if overrides:
+        opts = opts.replace(**overrides)
+
+    name, spec, value, is_rest, is_th = _build_control(p, None, kwargs)
+    if kwargs:
+        raise TypeError(f"unknown keyword arguments: {sorted(kwargs)}")
+
+    if value_batch is not None:
+        value = jnp.asarray(value_batch, dtype)
+        value_axis = 0
+    else:
+        value = jnp.asarray(value, dtype)
+        value_axis = None
+
+    soc0 = jnp.asarray(p.opts.SOC if SOC is None else SOC, dtype)
+    soc_axis = 0 if soc0.ndim > 0 else None
+
+    # per-cell initial guesses (vmapped over batched θ leaves)
+    def guess(th_, soc_):
+        return initial_guess(soc_, th_, p.cfg, dtype)
+
+    th_in_axes = {k: (0 if k in th_axes else None) for k in th}
+    soc_b = soc0 if soc_axis == 0 else jnp.broadcast_to(soc0, (B,))
+    y_start = jax.vmap(guess, in_axes=(th_in_axes, 0))(th, soc_b)
+
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis_name))
+        y_start = jax.device_put(y_start, shard)
+        th = {k: (jax.device_put(v, shard) if k in th_axes else v)
+              for k, v in th.items()}
+        if value_axis == 0:
+            value = jax.device_put(value, shard)
+
+    jac_plan = None
+    if fast_solver:
+        from ..ops.plan import get_plan
+        jac_plan = get_plan(p.cfg, p.theta)
+    return _batch_core(y_start, soc_b, value, jnp.asarray(tf, dtype), th,
+                       bdict, p.cfg, spec, opts, is_rest, is_th,
+                       th_axes_t, bound_axes_t, value_axis, 0, jac_plan)
+
+
+def make_cell_mesh(axis_name: str = "cells", devices=None) -> Mesh:
+    """1-D device mesh over all (or given) devices for DP over cells."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis_name,))

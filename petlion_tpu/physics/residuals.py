@@ -325,11 +325,13 @@ def _fickian_rhs(c_s, j, Rp, D_s, n_el: int, n_r: int):
     M2 = jnp.asarray(M2, c_s.dtype)
 
     C = c_s.reshape(n_el, n_r)
-    d1 = (C @ M1.T) * coef1
+    # precision=highest: TPU f32 matmuls default to bf16 multiplies, which
+    # is catastrophic for FD stencils on ~5e4-magnitude concentrations
+    d1 = jnp.matmul(C, M1.T, precision="highest") * coef1
     # BCs on the first derivative (residuals.jl:150-156)
     d1 = d1.at[:, -1].set(-j / D_s * Rp)
     d1 = d1.at[:, 0].set(0.0)
-    d2 = (C @ M2.T) * coef2
+    d2 = jnp.matmul(C, M2.T, precision="highest") * coef2
     # Neumann correction at r=1 (residuals.jl:162)
     d2 = d2.at[:, -1].add(50.0 * dr * d1[:, -1] * coef2)
 

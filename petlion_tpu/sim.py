@@ -93,13 +93,13 @@ def petlion(chemistry: Callable = LCO, **kwargs) -> Model:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "opts", "is_rest",
-                                   "is_temperature_hold"))
+                                   "is_temperature_hold", "jac_plan"))
 def _core(y_start, soc0, value, tf, th, bounds, prev_I, has_prev,
-          cfg, spec, opts, is_rest, is_temperature_hold):
+          cfg, spec, opts, is_rest, is_temperature_hold, jac_plan=None):
     return run_once(y_start=y_start, soc0=soc0, value=value, tf=tf, th=th,
                     bounds=bounds, cfg=cfg, spec=spec, opts=opts,
                     is_rest=is_rest, is_temperature_hold=is_temperature_hold,
-                    prev_I=prev_I, has_prev=has_prev)
+                    prev_I=prev_I, has_prev=has_prev, jac_plan=jac_plan)
 
 
 def _mean_T_host(yp, th, cfg):
@@ -205,6 +205,7 @@ def simulate(p: Model,
              sol: Optional[Solution] = None,
              initial_states=None,
              SOC: Optional[float] = None,
+             fast_solver: bool = False,
              **kwargs) -> Solution:
     """Run one control segment; continue a previous run by passing sol=.
 
@@ -270,9 +271,13 @@ def simulate(p: Model,
         has_prev = jnp.asarray(False)
         t_offset = 0.0
 
+    jac_plan = None
+    if fast_solver:
+        from .ops.plan import get_plan
+        jac_plan = get_plan(p.cfg, p.theta)
     res = _core(y_start, soc0, jnp.asarray(value, dtype),
                 jnp.asarray(tf_run, dtype), th, bdict, prev_I, has_prev,
-                p.cfg, spec, opts, is_rest, is_th)
+                p.cfg, spec, opts, is_rest, is_th, jac_plan)
 
     n_saved = int(res.n_saved)
     flag = int(res.flag)

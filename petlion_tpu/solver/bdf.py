@@ -82,9 +82,12 @@ def change_D(D, order, factor):
     U = _R_matrix(jnp.asarray(1.0, dtype), dtype)
     mask = (jnp.arange(_D_ROWS) <= order)
     # RU[j,i] = Σ_{m<=order} R[j,m] U[m,i]
-    RU = (R * mask[None, :]) @ (U * mask[:, None])
+    # precision=highest: bf16-multiply matmuls (TPU f32 default) would
+    # corrupt the difference array, whose rows span ~1e5 dynamic range
+    RU = jnp.matmul(R * mask[None, :], U * mask[:, None],
+                    precision="highest")
     Dm = jnp.where(mask[:, None], D, 0.0)
-    D_new = RU.T @ Dm
+    D_new = jnp.matmul(RU.T, Dm, precision="highest")
     return jnp.where(mask[:, None], D_new, D)
 
 

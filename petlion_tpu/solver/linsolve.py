@@ -22,6 +22,27 @@ def dense_solve(lu, b):
     return jax.scipy.linalg.lu_solve(lu, b)
 
 
+def equilibrated_factor(J):
+    """Row/column-equilibrated dense LU.
+
+    The P2D Jacobian mixes magnitudes from c_s (~5e4) down to j (~1e-5), a
+    condition-number killer in f32 (the TPU-native dtype). Scaling rows and
+    columns to unit max-norm before factorization keeps the f32 LU accurate;
+    in f64 it is practically free insurance. This replaces the reference's
+    reliance on KLU's internal scaling (scalar_residual.jl:489-499).
+    """
+    col = jnp.maximum(jnp.max(jnp.abs(J), axis=0), 1e-30)
+    Jc = J / col[None, :]
+    row = jnp.maximum(jnp.max(jnp.abs(Jc), axis=1), 1e-30)
+    Js = Jc / row[:, None]
+    return (jax.scipy.linalg.lu_factor(Js), row, col)
+
+
+def equilibrated_solve(fac, b):
+    lu, row, col = fac
+    return jax.scipy.linalg.lu_solve(lu, b / row) / col
+
+
 def make_dense_jacfwd(F):
     """jac_and_factor closure for `bdf.make_stepper` using dense jacfwd.
 

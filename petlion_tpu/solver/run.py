@@ -134,7 +134,7 @@ def run_once(*,
              cfg: ModelConfig, spec: control.ControlSpec, opts: SimOptions,
              is_rest: bool = False, is_temperature_hold: bool = False,
              prev_I=None, has_prev=None,
-             linear_solver=None) -> RunResultDev:
+             linear_solver=None, jac_plan=None) -> RunResultDev:
     """Execute one run. `y_start=None`-like fresh starts are handled by the
     caller passing the initial guess; here y_start is always a concrete state
     vector whose algebraic part is re-initialized by Newton.
@@ -143,8 +143,15 @@ def run_once(*,
     dtype = y_start.dtype
     nd = L.N_diff
 
-    factor, solve = (linsolve.dense_factor, linsolve.dense_solve) \
-        if linear_solver is None else linear_solver
+    # equilibrated LU by default: required for f32 (TPU) conditioning,
+    # near-free in f64
+    if jac_plan is not None:
+        factor, solve = jac_plan.factor, jac_plan.solve
+    elif linear_solver is not None:
+        factor, solve = linear_solver
+    else:
+        factor, solve = (linsolve.equilibrated_factor,
+                         linsolve.equilibrated_solve)
 
     def F(t, y, yp):
         return control.full_residual(spec, value, t, y, yp, th, cfg)
@@ -173,7 +180,11 @@ def run_once(*,
         def composed(y):
             return F(t, y, c0 * y + const)
 
-        return factor(jax.jacfwd(composed)(y_pred))
+        if jac_plan is not None:
+            J = jac_plan.colored(composed, y_pred)
+        else:
+            J = jax.jacfwd(composed)(y_pred)
+        return factor(J)
 
     hmax = opts.dtmax if opts.dtmax is not None else float("inf")
     step = bdf.make_stepper(F, jac_and_factor, solve,
@@ -201,13 +212,11 @@ def run_once(*,
         y_prev=y0, yp_prev=yp0, t_prev=jnp.asarray(0.0, dtype),
         soc_prev=jnp.asarray(soc0, dtype))
 
-    max_iters = min(opts.maxiters, opts.max_save - 1)
-
     def cond(rs: RunnerState):
         return ((rs.flag == EXIT_SIMULATING)
                 & (rs.bdf.t < tf)
                 & (rs.bdf.status == bdf.OK)
-                & (rs.save_idx < max_iters + 1))
+                & (rs.bdf.n_steps < opts.maxiters))
 
     def body(rs: RunnerState):
         y_prev = rs.bdf.D[0]
@@ -223,7 +232,10 @@ def run_once(*,
         # trapezoidal SOC update (scalar_residual.jl:103-111)
         soc = rs.soc + 0.5 * (t - t_prev) * (L.I(y) + L.I(y_prev)) / 3600.0
 
-        bufs = _record(rs.bufs, rs.save_idx, t, y, yp, soc, th, cfg, vec_outs)
+        # ring-clamp: if the save buffer fills, keep integrating and
+        # overwrite the last slot (solver progress is not IO-bound)
+        rec_idx = jnp.minimum(rs.save_idx, opts.max_save - 1)
+        bufs = _record(rs.bufs, rec_idx, t, y, yp, soc, th, cfg, vec_outs)
         prev, flag = events.check_stop(
             t, y, yp, soc, rs.prev, rs.flag, bounds, th, cfg, spec.method,
             reltol=opts.reltol, tf=tf, check_bounds=opts.check_bounds,
@@ -248,7 +260,7 @@ def run_once(*,
     yp_last = rs.bdf.yp
     t_last = rs.bdf.t
     soc_last = rs.soc
-    last_idx = rs.save_idx - 1
+    last_idx = jnp.minimum(rs.save_idx - 1, opts.max_save - 1)
 
     # back-interpolate the final point to the bound crossing
     # (interp_final_points!, model_evaluation.jl:369-382)
@@ -268,7 +280,7 @@ def run_once(*,
     bufs = _record(bufs, last_idx, t_f, y_f, yp_f, soc_f, th, cfg, vec_outs)
 
     return RunResultDev(
-        bufs=bufs, n_saved=rs.save_idx, flag=flag,
+        bufs=bufs, n_saved=jnp.minimum(rs.save_idx, opts.max_save), flag=flag,
         y_final=y_f, yp_final=yp_f, soc_final=soc_f, t_final=t_f,
         n_steps=rs.bdf.n_steps, n_rejected=rs.bdf.n_rejected,
         init_converged=init.converged)
