@@ -366,13 +366,21 @@ def _res_c_s_avg(aux, y, yp, th, cfg: ModelConfig):
 
 
 def _res_Q(aux, y, yp, th, cfg: ModelConfig):
-    """Polynomial-model flux state (residuals.jl:237-258)."""
+    """Polynomial-model flux state (reference residuals.jl:237-258).
+
+    Deliberate deviation: Subramanian et al.'s 3-parameter model (and
+    LIONSIMBA, which the reference adapted) has dQ/dt = (-30·D_s·Q -
+    45/2·j)/Rp²; the reference drops the factor 30 on the relaxation term,
+    which breaks the steady-state surface-concentration limit (it no longer
+    reduces to the quadratic model). We keep the correct coefficient —
+    verified by polynomial ≈ quadratic ≈ Fickian agreement at low C-rate.
+    """
     N, L = cfg.N, cfg.layout
     Q_p, Q_n = L.get(y, "Q", "p"), L.get(y, "Q", "n")
     j = aux["j"]
     rhs = jnp.concatenate([
-        (-aux["D_s_p"] * Q_p - 22.5 * j[:N.p]) / th["Rp_p"]**2,
-        (-aux["D_s_n"] * Q_n - 22.5 * j[N.p:]) / th["Rp_n"]**2,
+        (-30.0 * aux["D_s_p"] * Q_p - 22.5 * j[:N.p]) / th["Rp_p"]**2,
+        (-30.0 * aux["D_s_n"] * Q_n - 22.5 * j[N.p:]) / th["Rp_n"]**2,
     ])
     return rhs - yp[L.sl("Q")]
 

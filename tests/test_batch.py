@@ -1,0 +1,89 @@
+"""Batched execution: vmap consistency, sharding, in-jit protocols."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import petlion_tpu as pt
+from petlion_tpu.parallel.batch import batch_simulate, make_cell_mesh
+from petlion_tpu.protocols import batch_protocol, simulate_protocol
+
+
+@pytest.fixture(scope="module")
+def p():
+    return pt.petlion(pt.LCO)
+
+
+def test_batched_matches_single(p):
+    """vmap consistency: a batched run must reproduce per-cell single runs
+    (SURVEY §4 test strategy, item d)."""
+    D_sps = np.array([0.8e-14, 1e-14, 1.3e-14])
+    res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
+                         theta_batch={"D_sp": D_sps}, outputs=("t", "V"),
+                         max_save=256)
+    for i, d in enumerate(D_sps):
+        p.theta["D_sp"] = float(d)
+        sol = pt.simulate(p, I=-1, SOC=1, fast_solver=True, max_save=256)
+        assert int(res.flag[i]) == 3
+        np.testing.assert_allclose(float(res.t_final[i]), sol.t[-1],
+                                   rtol=1e-10)
+        iV = int(res.n_saved[i]) - 1
+        np.testing.assert_allclose(float(res.bufs["V"][i, iV]), sol.V[-1],
+                                   rtol=1e-9)
+    p.theta["D_sp"] = 1e-14
+
+
+def test_fast_solver_matches_dense(p):
+    s_fast = pt.simulate(p, I=-1, SOC=1, fast_solver=True)
+    s_dense = pt.simulate(p, I=-1, SOC=1, fast_solver=False)
+    np.testing.assert_allclose(s_fast.V[-1], s_dense.V[-1], rtol=1e-8)
+    np.testing.assert_allclose(s_fast.t[-1], s_dense.t[-1], rtol=1e-10)
+
+
+def test_sharded_batch_runs(p):
+    """8-virtual-device mesh: sharded batch executes and matches unsharded."""
+    mesh = make_cell_mesh("cells")
+    assert mesh.devices.size == 8
+    B = 16
+    tb = {"D_sp": 1e-14 * (1 + 0.02 * np.arange(B))}
+    r1 = batch_simulate(p, 600.0, I=-1.0, SOC=1.0, theta_batch=tb,
+                        mesh=mesh, outputs=("t", "V"))
+    r2 = batch_simulate(p, 600.0, I=-1.0, SOC=1.0, theta_batch=tb,
+                        outputs=("t", "V"))
+    np.testing.assert_allclose(np.asarray(r1.t_final), np.asarray(r2.t_final),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r1.y_final), np.asarray(r2.y_final),
+                               rtol=1e-8)
+
+
+def test_protocol_injit_matches_chained(p):
+    """One-jit CC-CV must match host-side simulate/simulate_cont chaining."""
+    sol_jit = simulate_protocol(
+        p, [dict(I=2, V_max=4.1, SOC_max=1.0), dict(V="hold", SOC_max=1.0)],
+        SOC=0.0)
+    sol_host = pt.simulate(p, I=2, SOC=0, V_max=4.1, fast_solver=True)
+    sol_host = pt.simulate_cont(sol_host, p, V="hold", SOC_max=1.0,
+                                fast_solver=True)
+    assert [r.exit_reason for r in sol_jit.results] == \
+           [r.exit_reason for r in sol_host.results]
+    np.testing.assert_allclose(sol_jit.t[-1], sol_host.t[-1], rtol=1e-6)
+    np.testing.assert_allclose(sol_jit.I[-1], sol_host.I[-1], rtol=1e-4)
+
+
+def test_batch_protocol_percell_switching(p):
+    """Batched CC-CV: cells with different D_sp switch from CC to CV at
+    different times — the per-cell event handling the reference cannot do
+    in a single run."""
+    B = 4
+    tb = {"D_sn": 3.9e-14 * np.array([0.5, 1.0, 2.0, 4.0])}
+    results = batch_protocol(
+        p, [dict(I=2, V_max=4.1, SOC_max=1.0), dict(V="hold", SOC_max=1.0)],
+        SOC=0.0, theta_batch=tb)
+    cc, cv = results
+    t_switch = np.asarray(cc.t_final)
+    assert len(np.unique(t_switch.round(3))) == B   # all different
+    assert (np.asarray(cc.flag) == 2).all()         # all hit V_max
+    assert (np.asarray(cv.flag) == 4).all()         # all topped out SOC
+    soc = np.asarray(cv.soc_final)
+    np.testing.assert_allclose(soc, 1.0, atol=2e-3)
