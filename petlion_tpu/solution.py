@@ -17,6 +17,25 @@ import numpy as np
 from .config import EXIT_REASONS, EXIT_FAILED
 
 
+# display labels with units (reference STATE_NAMES, structures.jl:404-420)
+STATE_NAMES = {
+    "V": "Voltage [V]",
+    "I": "Current [C-rate]",
+    "P": "Power [W/m²]",
+    "SOC": "State of charge [-]",
+    "c_e": "Electrolyte conc. [mol/m³]",
+    "c_s_avg": "Solid conc. [mol/m³]",
+    "T": "Temperature [K]",
+    "j": "Ionic flux [mol/(m²·s)]",
+    "j_s": "Side-reaction flux [mol/(m²·s)]",
+    "film": "SEI film thickness [m]",
+    "SOH": "State of health [-]",
+    "Q": "Solid conc. flux [mol/m⁴]",
+    "Phi_e": "Electrolyte potential [V]",
+    "Phi_s": "Solid potential [V]",
+}
+
+
 def exit_reason_string(flag: int) -> str:
     if flag == EXIT_FAILED:
         return "Solver failure"
@@ -151,6 +170,35 @@ class Solution:
                                        extrapolate=(interp_bc == "extrapolate"))
             out.arrays[k] = res
         return out
+
+    # -- plotting (reference plot recipe, structures.jl:423-447) ---------------
+
+    def plot(self, state: str = "V", ax=None, **kw):
+        """Plot a saved output vs time with unit labels (STATE_NAMES,
+        structures.jl:404-420). Vector states plot one line per node."""
+        import matplotlib
+        matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+
+        if state not in self.arrays:
+            raise KeyError(
+                f"{state!r} was not recorded; outputs={list(self.arrays)}")
+        if ax is None:
+            _, ax = plt.subplots(figsize=(7, 4))
+        t = self.t
+        x, xlabel = (t, "Time [s]")
+        if t[-1] >= 2 * 3600:
+            x, xlabel = t / 3600.0, "Time [hr]"
+        elif t[-1] >= 120:
+            x, xlabel = t / 60.0, "Time [min]"
+        y = self.arrays[state]
+        ax.plot(x, y, **kw)
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(STATE_NAMES.get(state, state))
+        for r in self.results[:-1]:
+            ax.axvline(x[min(r.run_index.stop - 1, len(x) - 1)],
+                       color="0.8", lw=0.8)
+        return ax
 
     # -- pretty printing (structures.jl:678-746) -------------------------------
 
