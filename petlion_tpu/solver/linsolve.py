@@ -43,6 +43,87 @@ def equilibrated_solve(fac, b):
     return jax.scipy.linalg.lu_solve(lu, b / row) / col
 
 
+def gj_inverse(A):
+    """Explicit inverse by pivot-free Gauss-Jordan with a static trip count.
+
+    TPU-first design: `lax.linalg.lu` + triangular solves lower to long
+    sequential pivoting loops that batch terribly on TPU; Gauss-Jordan is n
+    fused rank-1 updates on the full (batched) matrix, and once the inverse
+    is materialized every Newton solve is a single MXU matmul. Pivot-free is
+    safe here because callers equilibrate first and the P2D Newton matrix is
+    strongly diagonally dominant (same assumption KLU exploits with its
+    static pivot ordering in the reference).
+    """
+    n = A.shape[-1]
+    M = jnp.concatenate(
+        [A, jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape[:-2] + (n, n))],
+        axis=-1)
+
+    def body(k, M):
+        piv = M[..., k, k]
+        row = M[..., k, :] / piv[..., None]
+        col = M[..., :, k]
+        M = M - col[..., :, None] * row[..., None, :]
+        M = M.at[..., k, :].set(row)
+        return M
+
+    M = jax.lax.fori_loop(0, n, body, M, unroll=8)
+    return M[..., :, n:]
+
+
+def gj_inverse_blocked(A, bs: int = 8):
+    """Blocked pivot-free Gauss-Jordan inversion.
+
+    The scalar GJ makes n passes over the (batched) augmented matrix — pure
+    HBM traffic. Blocking by `bs` columns turns each pass into a rank-bs
+    MXU matmul update and cuts the number of passes (and HBM bytes) by bs.
+    n is padded to a multiple of bs with an identity tail (inverse of the
+    padded matrix restricts to the inverse of A).
+    """
+    n = A.shape[-1]
+    n_pad = ((n + bs - 1) // bs) * bs
+    batch = A.shape[:-2]
+    if n_pad != n:
+        Ap = jnp.zeros(batch + (n_pad, n_pad), A.dtype)
+        Ap = Ap.at[..., :n, :n].set(A)
+        pad_idx = jnp.arange(n, n_pad)
+        Ap = Ap.at[..., pad_idx, pad_idx].set(1.0)
+        A = Ap
+    m = n_pad
+    M = jnp.concatenate(
+        [A, jnp.broadcast_to(jnp.eye(m, dtype=A.dtype),
+                             batch + (m, m))], axis=-1)
+    for kb in range(m // bs):
+        c0, c1 = kb * bs, (kb + 1) * bs
+        Drows = M[..., c0:c1, :]                       # (bs, 2m)
+        Dblk = Drows[..., :, c0:c1]                    # (bs, bs)
+        Dinv = gj_inverse(Dblk)                        # tiny, unrolled
+        R = jnp.matmul(Dinv, Drows, precision="highest")   # normalized rows
+        C = M[..., :, c0:c1]                           # (m, bs)
+        M = M - jnp.matmul(C, R, precision="highest")
+        M = M.at[..., c0:c1, :].set(R)
+    inv = M[..., :, m:]
+    if n_pad != n:
+        inv = inv[..., :n, :n]
+    return inv
+
+
+def equilibrated_inv_factor(J):
+    """Row/col-equilibrated explicit inverse; solve is one matvec."""
+    col = jnp.maximum(jnp.max(jnp.abs(J), axis=-2), 1e-30)
+    Jc = J / col[..., None, :]
+    row = jnp.maximum(jnp.max(jnp.abs(Jc), axis=-1), 1e-30)
+    Js = Jc / row[..., :, None]
+    inv = gj_inverse(Js) if J.shape[-1] <= 16 else gj_inverse_blocked(Js)
+    return (inv, row, col)
+
+
+def equilibrated_inv_solve(fac, b):
+    inv, row, col = fac
+    return jnp.matmul(inv, (b / row)[..., None],
+                      precision="highest")[..., 0] / col
+
+
 def make_dense_jacfwd(F):
     """jac_and_factor closure for `bdf.make_stepper` using dense jacfwd.
 

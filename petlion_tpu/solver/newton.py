@@ -59,8 +59,8 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
         y_diff, y_alg = y[:n_diff], y[n_diff:]
         r = alg_res(y_alg, y_diff)
         J = jax.jacfwd(alg_res)(y_alg, y_diff)
-        lu = linsolve.equilibrated_factor(J)
-        step = linsolve.equilibrated_solve(lu, r)
+        lu = linsolve.equilibrated_inv_factor(J)
+        step = linsolve.equilibrated_inv_solve(lu, r)
         y_alg_new = y_alg - step
         dnorm = jnp.linalg.norm(step)
         return (it + 1, jnp.concatenate([y_diff, y_alg_new]), dnorm, lu)
@@ -86,11 +86,11 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
                          jnp.sqrt(jnp.finfo(dtype).eps * c_e0))
         y_t = y + dt * yp
         r_alg = F(dt, y_t, yp)[n_diff:]
-        yp = yp.at[n_diff:].set(-linsolve.equilibrated_solve(lu, r_alg) / dt)
+        yp = yp.at[n_diff:].set(-linsolve.equilibrated_inv_solve(lu, r_alg) / dt)
 
     return InitResult(y=y, yp=yp, converged=converged, iterations=it)
 
 
 def _dummy_lu(n, dtype):
-    return ((jnp.eye(n, dtype=dtype), jnp.arange(n, dtype=jnp.int32)),
+    return (jnp.eye(n, dtype=dtype),
             jnp.ones((n,), dtype), jnp.ones((n,), dtype))

@@ -181,10 +181,8 @@ def run_once(*,
             return F(t, y, c0 * y + const)
 
         if jac_plan is not None:
-            J = jac_plan.colored(composed, y_pred)
-        else:
-            J = jax.jacfwd(composed)(y_pred)
-        return factor(J)
+            return jac_plan.factor_compressed(composed, y_pred)
+        return factor(jax.jacfwd(composed)(y_pred))
 
     hmax = opts.dtmax if opts.dtmax is not None else float("inf")
     step = bdf.make_stepper(F, jac_and_factor, solve,
