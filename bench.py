@@ -48,9 +48,12 @@ def main():
         "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B)),
     }
 
-    def run():
+    def run(eps=0.0):
+        # perturb θ per call: the remote-TPU tunnel memoizes identical
+        # (program, input) executions, which would fake the timing
+        tb = {k: v * (1.0 + eps) for k, v in theta_batch.items()}
         res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
-                             theta_batch=theta_batch,
+                             theta_batch=tb,
                              outputs=("t", "V"))
         jax.block_until_ready(res.flag)
         return res
@@ -60,16 +63,16 @@ def main():
     t0 = time.time()
     res = run()
     compile_s = time.time() - t0
-    run()
+    run(1e-5)
 
     flags = np.asarray(res.flag)
     ok = np.isin(flags, (0, 1, 3)).mean()   # tf / V_min / SOC_min exits
 
     reps = 5
     times = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
-        res = run()
+        res = run(1e-4 * (i + 2))
         times.append(time.time() - t0)
     dt = min(times)
 

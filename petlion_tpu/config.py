@@ -141,6 +141,7 @@ class SimOptions:
     verbose: bool = False
     interp_final: bool = True
     interp_bc: str = "interpolate"
+    save_start: bool = False
     # integrator controls (TPU build specific)
     max_order: int = 5
     max_save: int = 1024          # output ring buffer length per run

@@ -37,7 +37,7 @@ _BOUND_KEYS = ("V_max", "V_min", "SOC_max", "SOC_min", "T_max", "c_s_n_max",
 _OPT_KEYS = ("outputs", "abstol", "reltol", "abstol_init", "reltol_init",
              "maxiters", "check_bounds", "reinit", "verbose", "interp_final",
              "interp_bc", "max_order", "max_save", "newton_maxiter",
-             "init_maxiter", "dt0", "dtmax")
+             "init_maxiter", "dt0", "dtmax", "save_start")
 _METHOD_KEYS = ("I", "V", "P", "eta_p", "res", "dT",
                 "dc_s_p_max", "dc_s_p_min", "dc_s_n_max", "dc_s_n_min",
                 "dc_e_max", "dc_e_min", "T")
@@ -93,17 +93,58 @@ def petlion(chemistry: Callable = LCO, **kwargs) -> Model:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("cfg", "spec", "opts", "is_rest",
-                                   "is_temperature_hold", "jac_plan"))
+                                   "is_temperature_hold", "jac_plan",
+                                   "tstops"))
 def _core(y_start, soc0, value, tf, th, bounds, prev_I, has_prev,
-          cfg, spec, opts, is_rest, is_temperature_hold, jac_plan=None):
+          cfg, spec, opts, is_rest, is_temperature_hold, jac_plan=None,
+          tstops=None):
     return run_once(y_start=y_start, soc0=soc0, value=value, tf=tf, th=th,
                     bounds=bounds, cfg=cfg, spec=spec, opts=opts,
                     is_rest=is_rest, is_temperature_hold=is_temperature_hold,
-                    prev_I=prev_I, has_prev=has_prev, jac_plan=jac_plan)
+                    prev_I=prev_I, has_prev=has_prev, jac_plan=jac_plan,
+                    tstops=tstops)
 
 
 def _mean_T_host(yp, th, cfg):
     return float(events._mean_T(jnp.asarray(yp)[cfg.layout.sl("T")], th, cfg))
+
+
+def _check_parameters_runtime(p: Model):
+    """Runtime θ sanity (reference check_errors_parameters_runtime,
+    checks.jl:366-375)."""
+    th = p.theta
+    eps_sp = 1.0 - (th["eps_fp"] + th["eps_p"])
+    eps_sn = 1.0 - (th["eps_fn"] + th["eps_n"])
+    if not (0.0 <= eps_sp <= 1.0):
+        raise ValueError("eps_p + eps_fp must be in [0, 1)")
+    if not (0.0 <= eps_sn <= 1.0):
+        raise ValueError("eps_n + eps_fn must be in [0, 1)")
+    if th["theta_max_p"] > th["theta_min_p"]:
+        raise ValueError("theta_max_p must be < theta_min_p")
+    if th["theta_min_n"] > th["theta_max_n"]:
+        raise ValueError("theta_min_n must be < theta_max_n")
+
+
+def _check_initial_soc(bounds: dict, soc: float, method: str, value: float,
+                       spec):
+    """For new runs, the SOC must leave room in the (dis)charge direction
+    (reference check_initial_SOC, checks.jl:327-339). Only decidable for
+    constant-current runs."""
+    import math
+    if method != "I" or spec.func is not None:
+        return
+    if value == 0:
+        return
+    soc_max = bounds.get("SOC_max", math.nan)
+    soc_min = bounds.get("SOC_min", math.nan)
+    if value > 0 and not math.isnan(float(soc_max)) and soc >= float(soc_max):
+        raise ValueError(
+            f"initial SOC ({soc}) must be < SOC_max ({float(soc_max)}) "
+            f"when charging")
+    if value < 0 and not math.isnan(float(soc_min)) and soc <= float(soc_min):
+        raise ValueError(
+            f"initial SOC ({soc}) must be > SOC_min ({float(soc_min)}) "
+            f"when discharging")
 
 
 def _build_control(p: Model, sol: Optional[Solution], kwargs):
@@ -206,13 +247,17 @@ def simulate(p: Model,
              initial_states=None,
              SOC: Optional[float] = None,
              fast_solver: bool = False,
+             tstops=None,
+             tdiscon=None,
+             dtype=None,
              **kwargs) -> Solution:
     """Run one control segment; continue a previous run by passing sol=.
 
     Returns a (new or extended) Solution. Mirrors reference simulate /
-    simulate! (model_evaluation.jl:11-97).
+    simulate! (model_evaluation.jl:11-97). `dtype` overrides the working
+    precision (e.g. jnp.float32 to exercise the TPU-native dtype on CPU).
     """
-    dtype = default_dtype()
+    dtype = dtype or default_dtype()
     th = p._theta_dev(dtype)
 
     # per-call bound overrides (dynamic)
@@ -265,7 +310,12 @@ def simulate(p: Model,
         has_prev = jnp.asarray(True)
         t_offset = 0.0
     else:
-        soc0 = jnp.asarray(p.opts.SOC if SOC is None else SOC, dtype)
+        soc_f = float(p.opts.SOC if SOC is None else SOC)
+        _check_parameters_runtime(p)
+        _check_initial_soc(
+            {k: float(np.asarray(v)) for k, v in bdict.items()},
+            soc_f, name, float(value), spec)
+        soc0 = jnp.asarray(soc_f, dtype)
         y_start = initial_guess(soc0, th, p.cfg, dtype)
         prev_I = jnp.asarray(0.0, dtype)
         has_prev = jnp.asarray(False)
@@ -275,9 +325,31 @@ def simulate(p: Model,
     if fast_solver:
         from .ops.plan import get_plan
         jac_plan = get_plan(p.cfg, p.theta)
+    # warm-start cache (reference save_start_init!,
+    # model_evaluation.jl:384-415): seed the algebraic block from a previous
+    # identical initialization, keyed by (method, SOC, setpoint)
+    ws_key = None
+    if opts.save_start:
+        cache = getattr(p, "_save_start", None)
+        if cache is None:
+            cache = p._save_start = {}
+        ws_key = (name, round(float(soc0), 4), round(float(value), 4))
+        if ws_key in cache:
+            nd = p.cfg.layout.N_diff
+            y_start = y_start.at[nd:].set(jnp.asarray(cache[ws_key], dtype))
+
+    # explicit stop times + known input discontinuities (reference
+    # postfix_integrator!, model_evaluation.jl:288-310)
+    stops = list(tstops or [])
+    stops += [t - opts.reltol / 2 for t in (tdiscon or [])]
+    stops_t = tuple(sorted(float(t) - t_offset for t in stops
+                           if t - t_offset > 0)) or None
     res = _core(y_start, soc0, jnp.asarray(value, dtype),
                 jnp.asarray(tf_run, dtype), th, bdict, prev_I, has_prev,
-                p.cfg, spec, opts, is_rest, is_th, jac_plan)
+                p.cfg, spec, opts, is_rest, is_th, jac_plan, stops_t)
+
+    if ws_key is not None and ws_key not in p._save_start:
+        p._save_start[ws_key] = np.asarray(res.y0_run)[p.cfg.layout.N_diff:]
 
     n_saved = int(res.n_saved)
     flag = int(res.flag)

@@ -171,6 +171,45 @@ class Solution:
             out.arrays[k] = res
         return out
 
+    # -- checkpoint / resume (SURVEY §5.4) --------------------------------------
+
+    def save(self, path: str):
+        """Persist the solution (arrays + run metadata + final state) to an
+        .npz checkpoint; `Solution.load` restores it and `simulate(...,
+        sol=loaded)` resumes from the final state — the TPU-era analogue of
+        the reference's simulation-resume mechanism."""
+        meta = [dict(method=r.method, input_repr=r.input_repr, tspan=r.tspan,
+                     flag=r.flag, exit_reason=r.exit_reason,
+                     n_steps=r.n_steps, n_rejected=r.n_rejected,
+                     run_index=(r.run_index.start, r.run_index.stop),
+                     init_converged=r.init_converged)
+                for r in self.results]
+        import json
+        np.savez_compressed(
+            path,
+            __meta__=json.dumps(meta),
+            __outputs__=json.dumps(list(getattr(self, "_outputs", ()))),
+            Y_final=self.Y_final, YP_final=self.YP_final,
+            SOC_final=np.float64(self.SOC_final),
+            **{f"arr_{k}": v for k, v in self.arrays.items()})
+
+    @staticmethod
+    def load(path: str) -> "Solution":
+        import json
+        z = np.load(path, allow_pickle=False)
+        sol = Solution()
+        for k in z.files:
+            if k.startswith("arr_"):
+                sol.arrays[k[4:]] = z[k]
+        for m in json.loads(str(z["__meta__"])):
+            rs = m.pop("run_index")
+            sol.results.append(RunResult(run_index=slice(*rs), **m))
+        sol.Y_final = z["Y_final"]
+        sol.YP_final = z["YP_final"]
+        sol.SOC_final = float(z["SOC_final"])
+        sol._outputs = tuple(json.loads(str(z["__outputs__"])))
+        return sol
+
     # -- plotting (reference plot recipe, structures.jl:423-447) ---------------
 
     def plot(self, state: str = "V", ax=None, **kw):

@@ -34,8 +34,10 @@ class InitResult(NamedTuple):
 
 def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
                     maxiter=100, c_e0=1000.0,
-                    init_algebraic_derivatives=True) -> InitResult:
-    """F(t, y, yp) -> full residual (with control row). y0: initial guess."""
+                    init_algebraic_derivatives=True, t0=0.0) -> InitResult:
+    """F(t, y, yp) -> full residual (with control row). y0: initial guess.
+    `t0` is the initialization time (0 for fresh runs; the post-discontinuity
+    time for mid-run re-initializations)."""
     dtype = y0.dtype
     n_tot = y0.shape[-1]
     n_alg = n_tot - n_diff
@@ -43,7 +45,7 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
 
     def alg_res(y_alg, y_diff):
         y = jnp.concatenate([y_diff, y_alg])
-        r = F(0.0, y, yp0)
+        r = F(t0, y, yp0)
         # Controls that reference YP (dT / dc_* holds, user residuals) would
         # see yp=0 here and leave the scalar row unconstrained. The reference
         # substitutes YP_diff -> residual RHS inside the scalar row for
@@ -51,7 +53,7 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
         # the rhs at yp=0 IS the residual, so one extra evaluation with
         # yp_diff := r_diff reproduces that substitution exactly.
         yp_eff = yp0.at[:n_diff].set(r[:n_diff])
-        r2 = F(0.0, y, yp_eff)
+        r2 = F(t0, y, yp_eff)
         return jnp.concatenate([r[n_diff:-1], r2[-1:]])
 
     def body(carry):
@@ -77,7 +79,7 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
 
     # differential derivatives: residual rows at YP=0 equal the rhs
     yp = jnp.zeros_like(y0)
-    r_full = F(0.0, y, yp)
+    r_full = F(t0, y, yp)
     yp = yp.at[:n_diff].set(r_full[:n_diff])
 
     if init_algebraic_derivatives:
@@ -85,7 +87,7 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
         dt = jnp.maximum(10.0 * reltol_init,
                          jnp.sqrt(jnp.finfo(dtype).eps * c_e0))
         y_t = y + dt * yp
-        r_alg = F(dt, y_t, yp)[n_diff:]
+        r_alg = F(t0 + dt, y_t, yp)[n_diff:]
         yp = yp.at[n_diff:].set(-linsolve.equilibrated_inv_solve(lu, r_alg) / dt)
 
     return InitResult(y=y, yp=yp, converged=converged, iterations=it)

@@ -50,6 +50,7 @@ class RunResultDev(NamedTuple):
     bufs: dict
     n_saved: jax.Array
     flag: jax.Array
+    y0_run: jax.Array          # state after consistent initialization
     y_final: jax.Array
     yp_final: jax.Array
     soc_final: jax.Array
@@ -134,7 +135,8 @@ def run_once(*,
              cfg: ModelConfig, spec: control.ControlSpec, opts: SimOptions,
              is_rest: bool = False, is_temperature_hold: bool = False,
              prev_I=None, has_prev=None,
-             linear_solver=None, jac_plan=None) -> RunResultDev:
+             linear_solver=None, jac_plan=None,
+             tstops=None) -> RunResultDev:
     """Execute one run. `y_start=None`-like fresh starts are handled by the
     caller passing the initial guess; here y_start is always a concrete state
     vector whose algebraic part is re-initialized by Newton.
@@ -216,16 +218,59 @@ def run_once(*,
                 & (rs.bdf.status == bdf.OK)
                 & (rs.bdf.n_steps < opts.maxiters))
 
+    # explicit solver stops (reference tstops/tdiscon handling,
+    # model_evaluation.jl:288-310): each step's bound is the next stop time
+    if tstops is not None:
+        tstops_arr = jnp.asarray(tstops, dtype)
+    else:
+        tstops_arr = None
+
     def body(rs: RunnerState):
         y_prev = rs.bdf.D[0]
         yp_prev = rs.bdf.yp
         t_prev = rs.bdf.t
         soc_prev = rs.soc
 
-        st = step(rs.bdf, tf)
+        if tstops_arr is not None:
+            nxt = jnp.min(jnp.where(tstops_arr > rs.bdf.t + 1e-9, tstops_arr,
+                                    jnp.inf))
+            t_bound = jnp.minimum(tf, nxt)
+        else:
+            t_bound = tf
+        st = step(rs.bdf, t_bound)
         y = st.D[0]
         yp = st.yp
         t = st.t
+
+        # discontinuity handling for function inputs (checks.jl:341-364 +
+        # IDAReInit): probe the control at t + reltol; on a jump, re-run the
+        # consistent (algebraic) initialization at the post-jump time and
+        # restart the BDF history at order 1 — the jump is absorbed into the
+        # initial state instead of being misread as truncation error
+        if spec.func is not None:
+            v_now = spec.func(t, y, yp, th)
+            t_jump = t + opts.reltol
+            v_probe = spec.func(t_jump, y, yp, th)
+            jumped = jnp.abs(v_probe - v_now) > (opts.abstol
+                                                 + opts.reltol * jnp.abs(v_now))
+
+            def rescue(st):
+                init2 = consistent_init(
+                    F, st.D[0], nd, reltol_init=opts.reltol_init_,
+                    maxiter=opts.init_maxiter, t0=t_jump)
+                h_new = jnp.asarray(max(opts.reltol, 1e-3), dtype)
+                D_new = jnp.zeros_like(st.D)
+                D_new = D_new.at[0].set(init2.y)
+                D_new = D_new.at[1].set(init2.yp * h_new)
+                return st._replace(
+                    t=t_jump, D=D_new, h=h_new, yp=init2.yp,
+                    order=jnp.asarray(1, jnp.int32),
+                    n_equal=jnp.asarray(0, jnp.int32))
+
+            st = jax.lax.cond(jumped, rescue, lambda s: s, st)
+            y = st.D[0]
+            yp = st.yp
+            t = st.t
 
         # trapezoidal SOC update (scalar_residual.jl:103-111)
         soc = rs.soc + 0.5 * (t - t_prev) * (L.I(y) + L.I(y_prev)) / 3600.0
@@ -279,6 +324,7 @@ def run_once(*,
 
     return RunResultDev(
         bufs=bufs, n_saved=jnp.minimum(rs.save_idx, opts.max_save), flag=flag,
+        y0_run=y0,
         y_final=y_f, yp_final=yp_f, soc_final=soc_f, t_final=t_f,
         n_steps=rs.bdf.n_steps, n_rejected=rs.bdf.n_rejected,
         init_converged=init.converged)

@@ -1,0 +1,90 @@
+"""Feature tests: tstops/discontinuities, warm start, checkpoints, profiling."""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import petlion_tpu as pt
+
+
+@pytest.fixture(scope="module")
+def p():
+    return pt.petlion(pt.LCO)
+
+
+def test_step_input_with_tdiscon(p):
+    """A square-pulse current: with tdiscon declared, the run resolves the
+    jump cleanly (reference tstops/tdiscon + reinit, checks.jl:341-364)."""
+    def I_fn(t):
+        return jnp.where(t < 300.0, -1.0, -0.1)
+
+    sol = pt.simulate(p, 600.0, I=I_fn, SOC=0.8, tdiscon=[300.0],
+                      outputs=("t", "V"))
+    assert sol.final_exit_reason() == "Final time reached"
+    t = sol.t
+    I = sol.I
+    assert abs(I[-1] + 0.1) < 1e-6
+    assert abs(I[np.searchsorted(t, 100.0)] + 1.0) < 1e-6
+    # the solver placed a point near the discontinuity
+    assert np.min(np.abs(t - 300.0)) < 1.0
+    # charge balance: trapz of I matches SOC change
+    dsoc = np.trapezoid(I, t) / 3600.0
+    assert abs((sol.SOC[-1] - 0.8) - dsoc) < 1e-3
+
+
+def test_tstops_hit_exactly(p):
+    sol = pt.simulate(p, 500.0, I=-1, SOC=1, tstops=[123.456, 250.0])
+    for ts in (123.456, 250.0):
+        assert np.min(np.abs(sol.t - ts)) < 1e-6
+
+
+def test_save_start_warm_start(p):
+    """Warm-start cache cuts init iterations on repeated identical inits
+    (reference save_start, model_evaluation.jl:384-415)."""
+    sol1 = pt.simulate(p, 60.0, I=-2, SOC=0.7, save_start=True)
+    sol2 = pt.simulate(p, 60.0, I=-2, SOC=0.7, save_start=True)
+    np.testing.assert_allclose(sol1.V[0], sol2.V[0], rtol=1e-10)
+    assert hasattr(p, "_save_start") and len(p._save_start) == 1
+
+
+def test_solution_checkpoint_roundtrip(p):
+    sol = pt.simulate(p, 600.0, I=-1, SOC=1, outputs=("t", "V", "c_e"))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        sol.save(path)
+        sol2 = pt.Solution.load(path)
+        np.testing.assert_array_equal(sol.V, sol2.V)
+        np.testing.assert_array_equal(sol.arrays["c_e"], sol2.arrays["c_e"])
+        assert sol2.final_exit_reason() == sol.final_exit_reason()
+        # resume from the checkpoint
+        sol3 = pt.simulate_cont(sol2, p, 300.0, I="rest")
+        assert sol3.final_exit_reason() == "Final time reached"
+        assert sol3.t[-1] > 890.0
+
+
+def test_timer_util(p):
+    from petlion_tpu.utils.profiling import Timer
+    tm = Timer()
+    for _ in range(2):
+        with tm.phase("simulate"):
+            pt.simulate(p, 60.0, I=-1, SOC=1)
+    rep = tm.report()
+    assert "simulate" in rep and "2 calls" in rep
+
+
+def test_f32_accuracy_vs_f64(p):
+    """The f32 (TPU-native) path must track the f64 trace to a few mV —
+    documents the precision cost of the performance dtype."""
+    import jax.numpy as jnp
+    s64 = pt.simulate(p, I=-1, SOC=1, outputs=("t", "V"))
+    s32 = pt.simulate(p, I=-1, SOC=1, outputs=("t", "V"),
+                      abstol=1e-3, reltol=1e-3, dtype=jnp.float32)
+    assert s32.final_exit_reason() == "Below min. SOC"
+    assert abs(s32.t[-1] - 3600.0) < 2.0
+    tq = np.linspace(50.0, 3500.0, 30)
+    v64 = np.interp(tq, s64.t, s64.V)
+    v32 = np.interp(tq, s32.t, s32.V)
+    assert np.max(np.abs(v64 - v32)) < 5e-3   # ≤5 mV over the discharge

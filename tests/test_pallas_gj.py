@@ -1,0 +1,34 @@
+"""Pallas blocked-GJ kernel test (runs in interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_pallas_gj_interpret_matches_xla():
+    from petlion_tpu.ops import pallas_gj
+    from petlion_tpu.solver import linsolve
+    if not pallas_gj.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+
+    import functools
+    from jax.experimental import pallas as pl
+
+    # run the kernel in interpreter mode on CPU by monkeypatching pallas_call
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        rng = np.random.default_rng(0)
+        B, n = 8, 37
+        A = jnp.asarray(rng.standard_normal((B, n, n)) + 20 * np.eye(n))
+        A = A.astype(jnp.float32)
+        out = pallas_gj.gj_inverse_pallas(A)
+    finally:
+        pl.pallas_call = orig
+    ref = np.linalg.inv(np.asarray(A, np.float64))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+    resid = np.abs(np.asarray(A, np.float64) @ np.asarray(out, np.float64)
+                   - np.eye(n)).max()
+    assert resid < 1e-3
