@@ -93,6 +93,7 @@ def gj_inverse_blocked(A, bs: int = 8):
     M = jnp.concatenate(
         [A, jnp.broadcast_to(jnp.eye(m, dtype=A.dtype),
                              batch + (m, m))], axis=-1)
+    eye_bs = jnp.eye(bs, dtype=A.dtype)
     for kb in range(m // bs):
         c0, c1 = kb * bs, (kb + 1) * bs
         Drows = M[..., c0:c1, :]                       # (bs, 2m)
@@ -100,8 +101,12 @@ def gj_inverse_blocked(A, bs: int = 8):
         Dinv = gj_inverse(Dblk)                        # tiny, unrolled
         R = jnp.matmul(Dinv, Drows, precision="highest")   # normalized rows
         C = M[..., :, c0:c1]                           # (m, bs)
-        M = M - jnp.matmul(C, R, precision="highest")
-        M = M.at[..., c0:c1, :].set(R)
+        # fuse the pivot-row write into the rank-bs update: replacing the
+        # pivot-block rows of C with (Dblk − I) makes M − C'@R equal to
+        # M − C@R on the other rows and exactly R on the pivot rows
+        # (Drows − (Dblk − I)·Dinv·Drows = R) — one pass over M per block
+        Cp = C.at[..., c0:c1, :].set(Dblk - eye_bs)
+        M = M - jnp.matmul(Cp, R, precision="highest")
     inv = M[..., :, m:]
     if n_pad != n:
         inv = inv[..., :n, :n]
@@ -114,7 +119,7 @@ def equilibrated_inv_factor(J):
     Jc = J / col[..., None, :]
     row = jnp.maximum(jnp.max(jnp.abs(Jc), axis=-1), 1e-30)
     Js = Jc / row[..., :, None]
-    inv = gj_inverse(Js) if J.shape[-1] <= 16 else gj_inverse_blocked(Js)
+    inv = gj_inverse(Js) if J.shape[-1] <= 16 else gj_inverse_blocked(Js, bs=32)
     return (inv, row, col)
 
 
