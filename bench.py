@@ -34,7 +34,7 @@ def main():
     # f32 needs a realistic absolute tolerance (1e-6 is below the f32 noise
     # floor of the linear solves); accuracy vs f64 is checked in tests.
     p = pt.petlion(pt.LCO)
-    p.opts = p.opts.replace(abstol=1e-3, reltol=1e-3, max_save=2,
+    p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
                             maxiters=500)
     # outputs minimal: the bench measures solver throughput, not IO
 
