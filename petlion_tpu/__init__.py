@@ -30,6 +30,7 @@ from .physics.transport import (D_s_eff, D_s_eff_isothermal, rxn_rate,
 from .physics.residuals import ModelConfig, calc_I1C, residual_core
 from .sim import Model, petlion, simulate, simulate_cont, default_dtype
 from .solution import Solution, RunResult
+from . import estimation
 
 
 def final_exit_reason(sol: Solution) -> str:
@@ -52,4 +53,5 @@ __all__ = [
     "rxn_rate_isothermal", "D_eff", "D_eff_linear", "D_eff_linear_one_term",
     "K_eff", "K_eff_isothermal", "thermodynamic_factor",
     "thermodynamic_factor_linear", "kinetics", "ocv", "transport",
+    "estimation",
 ]
