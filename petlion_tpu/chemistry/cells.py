@@ -35,6 +35,28 @@ def _common_kwargs(kw, defaults):
     return out
 
 
+def Li_metal_theta():
+    """Lithium-foil anode parameter set (reference params.jl:854-922).
+
+    The reference defines these values and a `lithium_foil` marker but never
+    wires a half-cell system; exposed here so users can overlay them on a
+    full-cell model (`p.theta.update(Li_metal_theta())` with
+    OCV_n=ocv.OCV_Li_metal) — dedicated half-cell physics is a known gap.
+    """
+    return {
+        "D_sn": 0.0, "k_n": 1e-4, "lambda_MHC_n": 0.0,
+        "theta_max_n": 0.0, "theta_min_n": 1.0,
+        "l_n": 25e-6, "sigma_n": 1e6, "eps_n": 0.25, "eps_fn": 0.0,
+        "brugg_n": 1.5, "c_max_n": 33133.0, "Rp_n": 5.86e-6,
+        "lam_n": 1.7, "rho_n": 1657.0, "Cp_n": 700.0,
+        "Ea_D_sn": 3.03e4, "Ea_k_n": 35000.0,
+        "c_EC_bulk_n": 4541.0, "delta0": 5e-9, "Vbar_SEI": 9.585e-5,
+        "alpha_SEI": 0.5, "R_SEI": 2e5, "E_n": 15e9, "nu_n": 0.2,
+        "Omega_n": 3.1e-6, "sigma_critical_n": 60e6, "U_SEI": 0.4,
+        "k_SEI": 1e-17, "D_SEI": 2e-18,
+    }
+
+
 # ---------------------------------------------------------------------------
 # LCO | LiC6  (params.jl:5-289)
 # ---------------------------------------------------------------------------

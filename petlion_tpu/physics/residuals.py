@@ -160,6 +160,48 @@ def fd_first_order(n: int):
 
 
 @lru_cache(maxsize=None)
+def cheb_matrix(n_r: int):
+    """Chebyshev differentiation matrix + nodes for the spectral radial
+    scheme (reference residuals.jl:193-203, Trefethen's `cheb`)."""
+    N = n_r - 1
+    x = np.cos(np.linspace(0.0, np.pi, N + 1))
+    c = np.hstack([2.0, np.ones(N - 1), 2.0]) * (-1.0) ** np.arange(N + 1)
+    X = np.tile(x[:, None], (1, N + 1))
+    dX = X - X.T
+    D = np.outer(c, 1.0 / c) / (dX + np.eye(N + 1))
+    D -= np.diag(D.sum(axis=1))
+    return D, x
+
+
+def _spectral_rhs(c_s, j, Rp, D_s, n_el: int, n_r: int):
+    """Chebyshev-spectral radial diffusion RHS (residuals.jl:181-235).
+
+    Storage matches the FDM layout (node n_r−1 = particle surface); the
+    Chebyshev grid runs surface→center, hence the reversals.
+    """
+    Dm, x = cheb_matrix(n_r)
+    Dm = jnp.asarray(Dm, c_s.dtype)
+    xj = jnp.asarray(x, c_s.dtype)
+
+    C = c_s.reshape(n_el, n_r)
+    # ∂ᵣc on the cheb grid of reversed concentrations
+    dcr = jnp.matmul(C[:, ::-1], Dm.T, precision="highest")
+    dcr = dcr.at[:, 0].set(-j * Rp * 0.5 / D_s)   # surface BC (cheb scheme)
+    dcr = dcr.at[:, -1].set(0.0)                  # center: no flux
+    inner = jnp.matmul(4.0 * D_s[:, None] * ((xj + 1.0) ** 2)[None, :] * dcr
+                       / Rp**2, Dm.T, precision="highest")
+    rhs_num = inner[:, ::-1]
+    rhs_limit = (4.0 * D_s[:, None] / Rp**2) * 3.0 * jnp.matmul(
+        dcr, Dm.T, precision="highest")
+    denom = (xj[:-1][::-1] + 1.0) ** 2
+    rhs = jnp.concatenate([
+        rhs_limit[:, -1:],                     # L'Hôpital at the center
+        rhs_num[:, 1:] / denom[None, :],
+    ], axis=1)
+    return rhs.reshape(-1)
+
+
+@lru_cache(maxsize=None)
 def fd_second_order(n: int):
     """4th-order second-derivative matrix (numerical_tools.jl:44-76)."""
     assert n >= 6
@@ -349,12 +391,12 @@ def _res_c_s_avg(aux, y, yp, th, cfg: ModelConfig):
     N, num, L = cfg.N, cfg.numerics, cfg.layout
     j = aux["j"]
     if num.solid_diffusion == "Fickian":
-        if num.Fickian_method != "finite_difference":
-            raise NotImplementedError("spectral Fickian method: planned")
-        rhs_p = _fickian_rhs(L.get(y, "c_s_avg", "p"), j[:N.p], th["Rp_p"],
-                             aux["D_s_p"], N.p, N.r_p)
-        rhs_n = _fickian_rhs(L.get(y, "c_s_avg", "n"), j[N.p:], th["Rp_n"],
-                             aux["D_s_n"], N.n, N.r_n)
+        radial = (_fickian_rhs if num.Fickian_method == "finite_difference"
+                  else _spectral_rhs)
+        rhs_p = radial(L.get(y, "c_s_avg", "p"), j[:N.p], th["Rp_p"],
+                       aux["D_s_p"], N.p, N.r_p)
+        rhs_n = radial(L.get(y, "c_s_avg", "n"), j[N.p:], th["Rp_n"],
+                       aux["D_s_n"], N.n, N.r_n)
         rhs = jnp.concatenate([rhs_p, rhs_n])
     else:
         # quadratic / polynomial: dc_s/dt = -3 j / Rp (residuals.jl:108-127)

@@ -92,3 +92,15 @@ def test_dc_s_hold():
     node = idx_all[np.argmin(Y[r.start][idx_all])]
     c_trace = Y[r][:, node]
     assert abs(c_trace[-1] - c_trace[0]) / c_trace[0] < 1e-4
+
+
+def test_spectral_fickian_matches_fdm():
+    """Chebyshev-spectral radial scheme (residuals.jl:181-235) agrees with
+    the 9-point FDM scheme on a moderate-rate discharge."""
+    ps = pt.petlion(pt.LCO, Fickian_method="spectral")
+    pf = pt.petlion(pt.LCO)
+    s1 = pt.simulate(ps, 1200.0, I=-0.5, SOC=0.8)
+    s2 = pt.simulate(pf, 1200.0, I=-0.5, SOC=0.8)
+    assert s1.final_exit_reason() == "Final time reached"
+    assert abs(s1.V[-1] - s2.V[-1]) < 1e-3
+    assert abs(s1.SOC[-1] - s2.SOC[-1]) < 1e-8
