@@ -27,10 +27,17 @@ def _log_relu(x, minval=1e-4):
 
 
 def rxn_BV(c_s_star, c_e, T, eta, k_i, lambda_MHC, c_s_max, th):
-    """Butler-Volmer with α=0.5 (custom_functions.jl:212-231)."""
+    """Butler-Volmer with α=0.5 (custom_functions.jl:212-231).
+
+    The sinh argument is clamped to ±30 (η ≈ ±1.5 V): far beyond any
+    physical operating point, but it keeps a diverging Newton iterate from
+    overflowing f32 (sinh(90) > f32 max) and poisoning the batch with NaN —
+    the batched-robustness analogue of the reference's sqrt_ReLU clamps.
+    """
+    arg = jnp.clip(0.5 * F * eta / (R * T), -30.0, 30.0)
     return (2.0 * k_i
             * _sqrt_relu(c_e * c_s_star * (c_s_max - c_s_star))
-            * jnp.sinh(0.5 * F * eta / (R * T)))
+            * jnp.sinh(arg))
 
 
 def MHC_kfunc(eta, lam):

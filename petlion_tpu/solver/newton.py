@@ -63,6 +63,13 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
         J = jax.jacfwd(alg_res)(y_alg, y_diff)
         lu = linsolve.equilibrated_inv_factor(J)
         step = linsolve.equilibrated_inv_solve(lu, r)
+        # trust-region cap: a near-singular row (f32 noise floors, extreme
+        # setpoints) can produce astronomically long Newton steps whose
+        # overflow poisons the whole batch with NaN; cap the relative step
+        # length — convergent iterations are far below the cap and unchanged
+        rel = jnp.sqrt(jnp.mean((step / (1.0 + jnp.abs(y_alg))) ** 2))
+        step = step * jnp.minimum(1.0, 10.0 / jnp.maximum(rel, 1e-30))
+        step = jnp.nan_to_num(step, nan=0.0, posinf=0.0, neginf=0.0)
         y_alg_new = y_alg - step
         dnorm = jnp.linalg.norm(step)
         return (it + 1, jnp.concatenate([y_diff, y_alg_new]), dnorm, lu)
