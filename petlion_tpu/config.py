@@ -116,6 +116,7 @@ EXIT_REASONS: Tuple[str, ...] = (
     "Below min. c_e",                  # 9
     "Above max. film growth rate",     # 10
     "Below min. η_plating",            # 11
+    "Stop function triggered",         # 12 (user hook, checks.jl:26)
 )
 EXIT_SIMULATING = -1          # run still within bounds
 EXIT_FAILED = -2              # integrator failure (Newton/maxiters)
@@ -142,6 +143,11 @@ class SimOptions:
     interp_final: bool = True
     interp_bc: str = "interpolate"
     save_start: bool = False
+    # user stop hook (reference opts.stop_function, structures.jl:283,
+    # checks.jl:26): a traceable f(t, y, yp, soc, th) -> bool evaluated per
+    # accepted step; True stops the run with flag 12. Static (retraces per
+    # distinct function object), like every structural option here.
+    stop_function: Optional[Callable] = None
     # integrator controls (TPU build specific)
     max_order: int = 5
     max_save: int = 1024          # output ring buffer length per run

@@ -31,7 +31,8 @@ def initial_guess(SOC, th, cfg: ModelConfig, dtype=None):
     y = y.at[L.sl("c_s_avg", "p")].set(c_s_p)
     y = y.at[L.sl("c_s_avg", "n")].set(c_s_n)
     if num.temperature:
-        y = y.at[L.sl("T")].set(th["T0"])
+        # the state carries T − T_amb (see residuals.build_auxiliary)
+        y = y.at[L.sl("T")].set(th["T0"] - th["T_amb"])
     if num.aging == "SEI":
         y = y.at[L.sl("SOH")].set(1.0)
         # film and j_s stay 0

@@ -238,11 +238,19 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
     Phi_e = L.get(y, "Phi_e")
     Phi_s = L.get(y, "Phi_s")
 
-    # temperature field over (a,p,s,n,z)
+    # temperature field over (a,p,s,n,z). The STATE carries the offset
+    # T̃ = T − T_amb (not absolute kelvin): in f32, ulp(313 K) ≈ 3e-5 K would
+    # swamp the mK-scale intra-cell gradients the thermal stencils and the
+    # dT-hold re-initialization depend on; offsets (≲ tens of K) keep ~4
+    # extra digits. Absolute T is reconstructed here for every physical
+    # consumer (Arrhenius factors, kinetics, heat sources); _res_T works on
+    # the offset directly. yp is a rate, identical in both representations.
     if num.temperature:
-        T_full = L.get(y, "T")
+        T_off = L.get(y, "T")
+        T_full = T_off + th["T_amb"]
     else:
         n_all = N.a + N.p + N.s + N.n + N.z
+        T_off = jnp.zeros((n_all,), y.dtype)
         T_full = jnp.full((n_all,), th["T0"], dtype=y.dtype)
     T_p = T_full[N.a:N.a + N.p]
     T_s = T_full[N.a + N.p:N.a + N.p + N.s]
@@ -323,7 +331,7 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
 
     return dict(
         c_e=c_e, j=j, j_s=j_s, j_total=j_total, Phi_e=Phi_e, Phi_s=Phi_s,
-        T_full=T_full, T_p=T_p, T_s=T_s, T_n=T_n,
+        T_full=T_full, T_off=T_off, T_p=T_p, T_s=T_s, T_n=T_n,
         I1C=I1C, I_density=I_density,
         a_p=a_p, a_n=a_n, porosity=porosity,
         sigma_eff_p=sigma_eff_p, sigma_eff_n=sigma_eff_n,
@@ -573,9 +581,15 @@ def _res_Phi_s(aux, th, cfg: ModelConfig):
 
 
 def _res_T(aux, y, yp, th, cfg: ModelConfig):
-    """1D thermal model over (a,p,s,n,z) (residuals.jl:299-489)."""
+    """1D thermal model over (a,p,s,n,z) (residuals.jl:299-489).
+
+    Conduction differences and the ambient-convection BCs act on the state's
+    T-offset (T − T_amb) so f32 keeps the intra-cell gradients exactly; the
+    heat-generation sources (where T appears multiplicatively) use absolute T
+    via `aux`. Mathematically identical to the reference in exact arithmetic.
+    """
     N, L = cfg.N, cfg.layout
-    T = aux["T_full"]
+    T = aux["T_off"]
     h = cell_widths_thermal(N, th)
     lam_cells = jnp.concatenate([
         jnp.full((N.a,), th["lam_a"]), jnp.full((N.p,), th["lam_p"]),
@@ -596,9 +610,10 @@ def _res_T(aux, y, yp, th, cfg: ModelConfig):
 
     Q_rev, Q_rxn, Q_ohm = _heat_generation(aux, th, cfg)
 
+    # Robin BCs: h_cell·(T_amb − T) = −h_cell·T_offset, exact in offset form
     bc = jnp.zeros_like(T)
-    bc = bc.at[0].set(th["h_cell"] * (th["T_amb"] - T[0]) / h[0])
-    bc = bc.at[-1].set(-th["h_cell"] * (T[-1] - th["T_amb"]) / h[-1])
+    bc = bc.at[0].set(-th["h_cell"] * T[0] / h[0])
+    bc = bc.at[-1].set(-th["h_cell"] * T[-1] / h[-1])
 
     rhs = (conduction + Q_rev + Q_rxn + Q_ohm + bc) / rho_cp
     return rhs - yp[L.sl("T")]

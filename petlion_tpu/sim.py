@@ -37,7 +37,7 @@ _BOUND_KEYS = ("V_max", "V_min", "SOC_max", "SOC_min", "T_max", "c_s_n_max",
 _OPT_KEYS = ("outputs", "abstol", "reltol", "abstol_init", "reltol_init",
              "maxiters", "check_bounds", "reinit", "verbose", "interp_final",
              "interp_bc", "max_order", "max_save", "newton_maxiter",
-             "init_maxiter", "dt0", "dtmax", "save_start")
+             "init_maxiter", "dt0", "dtmax", "save_start", "stop_function")
 _METHOD_KEYS = ("I", "V", "P", "eta_p", "res", "dT",
                 "dc_s_p_max", "dc_s_p_min", "dc_s_n_max", "dc_s_n_min",
                 "dc_e_max", "dc_e_min", "T")
@@ -79,10 +79,39 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+# θ keys each optional physics variant requires (construction-time check;
+# exceeds the reference's check_errors_initial, checks.jl:377-383, which only
+# validates the jacobian symbol — here a chemistry lacking e.g. thermal
+# parameters fails with a named list instead of a deep-trace KeyError)
+_REQUIRED_THETA = {
+    "temperature": ("l_a", "l_z", "lam_a", "lam_p", "lam_s", "lam_n", "lam_z",
+                    "rho_a", "rho_p", "rho_s", "rho_n", "rho_z",
+                    "Cp_a", "Cp_p", "Cp_s", "Cp_n", "Cp_z",
+                    "sigma_a", "sigma_z", "h_cell", "T_amb"),
+    "SEI": ("R_SEI", "k_n_aging", "M_n", "rho_n", "i_0_jside", "Uref_s", "w"),
+}
+
+
+def _check_errors_initial(theta: dict, numerics: Numerics):
+    def missing_for(feature, keys):
+        missing = sorted(k for k in keys if k not in theta)
+        if missing:
+            raise ValueError(
+                f"chemistry '{numerics.cathode}/{numerics.anode}' does not "
+                f"define the parameters required for {feature}: missing "
+                f"θ keys {missing}")
+    if numerics.temperature:
+        missing_for("temperature=True (thermal model)",
+                    _REQUIRED_THETA["temperature"])
+    if numerics.aging == "SEI":
+        missing_for("aging='SEI'", _REQUIRED_THETA["SEI"])
+
+
 def petlion(chemistry: Callable = LCO, **kwargs) -> Model:
     """Model factory (reference external.jl:2-36). No codegen: the residual
     is traced/compiled lazily by XLA on first simulate (and cached)."""
     theta, bounds, opts, N, numerics = chemistry(**kwargs)
+    _check_errors_initial(theta, numerics)
     cfg = ModelConfig.build(N, numerics)
     return Model(theta=theta, bounds=bounds, opts=opts, N=N,
                  numerics=numerics, cfg=cfg)
@@ -298,13 +327,25 @@ def simulate(p: Model,
     if continuing and initial_states is not None:
         raise ValueError("cannot set initial_states and continue a run")
     if continuing:
-        y_start = jnp.asarray(sol.Y_final, dtype)
+        # prefer the internal (T-offset) carry — converting through absolute
+        # kelvin would re-quantize intra-cell gradients to ulp(313 K) in f32
+        y_int = getattr(sol, "_Y_final_int", None)
+        if y_int is not None:
+            y_start = jnp.asarray(y_int, dtype)
+        else:
+            y_start = jnp.asarray(sol.Y_final, dtype)
+            if p.numerics.temperature:
+                y_start = y_start.at[p.cfg.layout.sl("T")].add(-th["T_amb"])
         soc0 = jnp.asarray(sol.SOC_final, dtype)
         prev_I = p.cfg.layout.I(y_start)
         has_prev = jnp.asarray(True)
         t_offset = float(sol.t[-1]) + 1e-12
     elif initial_states is not None:
+        # external state vectors carry absolute T [K] (reference-
+        # interchangeable); the solver state carries T − T_amb
         y_start = jnp.asarray(initial_states, dtype)
+        if p.numerics.temperature:
+            y_start = y_start.at[p.cfg.layout.sl("T")].add(-th["T_amb"])
         soc0 = p.cfg.layout.soc_from_state(y_start, th)
         prev_I = p.cfg.layout.I(y_start)
         has_prev = jnp.asarray(True)
@@ -365,8 +406,16 @@ def simulate(p: Model,
         init_converged=bool(res.init_converged),
     )
     out = sol if continuing else Solution()
+    # Y_final is public (reference-interchangeable): absolute T [K]; the
+    # internal T-offset carry is kept alongside for lossless continuation
+    y_final_ext = np.asarray(res.y_final)
+    if p.numerics.temperature:
+        sl_T = p.cfg.layout.sl("T")
+        y_final_ext = y_final_ext.copy()
+        y_final_ext[sl_T] += float(p.theta["T_amb"])
     out.append_run(host_bufs, n_saved, t_offset, meta,
-                   res.y_final, res.yp_final, res.soc_final)
+                   y_final_ext, res.yp_final, res.soc_final)
+    out._Y_final_int = np.asarray(res.y_final)
     out._outputs = opts.outputs
     if opts.verbose:
         print(out)

@@ -144,6 +144,10 @@ class Solution:
         t_query = np.atleast_1d(np.asarray(t_query, dtype=float))
         out = Solution(results=self.results, Y_final=self.Y_final,
                        YP_final=self.YP_final, SOC_final=self.SOC_final)
+        if getattr(self, "_Y_final_int", None) is not None:
+            out._Y_final_int = self._Y_final_int
+        if getattr(self, "_outputs", None):
+            out._outputs = self._outputs
         tspans = [ (self.t[r.run_index][0], self.t[r.run_index][-1])
                    for r in self.results ]
 
@@ -185,12 +189,17 @@ class Solution:
                      init_converged=r.init_converged)
                 for r in self.results]
         import json
+        extra = {}
+        y_int = getattr(self, "_Y_final_int", None)
+        if y_int is not None:   # internal solver carry (T-offset convention)
+            extra["Y_final_int"] = y_int
         np.savez_compressed(
             path,
             __meta__=json.dumps(meta),
             __outputs__=json.dumps(list(getattr(self, "_outputs", ()))),
             Y_final=self.Y_final, YP_final=self.YP_final,
             SOC_final=np.float64(self.SOC_final),
+            **extra,
             **{f"arr_{k}": v for k, v in self.arrays.items()})
 
     @staticmethod
@@ -206,6 +215,8 @@ class Solution:
             sol.results.append(RunResult(run_index=slice(*rs), **m))
         sol.Y_final = z["Y_final"]
         sol.YP_final = z["YP_final"]
+        if "Y_final_int" in z.files:
+            sol._Y_final_int = z["Y_final_int"]
         sol.SOC_final = float(z["SOC_final"])
         sol._outputs = tuple(json.loads(str(z["__outputs__"])))
         return sol

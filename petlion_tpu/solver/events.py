@@ -56,7 +56,7 @@ def _mean_T(T_full, th, cfg: ModelConfig):
 def check_stop(t, y, yp, soc, prev: BoundsPrev, flag, bounds: dict, th,
                cfg: ModelConfig, spec_method: str, *, reltol: float,
                tf, check_bounds: bool = True, is_rest: bool = False,
-               is_temperature_hold: bool = False):
+               is_temperature_hold: bool = False, stop_fn=None):
     """One stop-condition sweep. Returns (new_prev, new_flag).
 
     `flag` is EXIT_SIMULATING (-1) while running; set to the reference's code
@@ -112,10 +112,10 @@ def check_stop(t, y, yp, soc, prev: BoundsPrev, flag, bounds: dict, th,
     state = fire(state, (soc - bounds["SOC_max"] > eps) & (I > 0),
                  prev.SOC, bounds["SOC_max"], soc, 4)
 
-    # temperature (checks.jl:106-124)
+    # temperature (checks.jl:106-124); the state carries T − T_amb
     T_mean = prev.T
     if cfg.numerics.temperature and not is_temperature_hold:
-        T_mean = _mean_T(L.get(y, "T"), th, cfg)
+        T_mean = _mean_T(L.get(y, "T"), th, cfg) + th["T_amb"]
         dT_mean = _mean_T(L.get(yp, "T"), th, cfg)
         state = fire(state, (T_mean - bounds["T_max"] > eps) & (dT_mean > 0),
                      prev.T, bounds["T_max"], T_mean, 5)
@@ -144,10 +144,18 @@ def check_stop(t, y, yp, soc, prev: BoundsPrev, flag, bounds: dict, th,
         state = fire(state, dfilm - bounds["dfilm_max"] > eps,
                      prev.dfilm, bounds["dfilm_max"], dfilm, 10)
 
+    new_flag = state["flag"]
+    # user stop hook (checks.jl:26) — boolean, no crossing localization;
+    # a bound located earlier inside the step (t_frac < 1) keeps priority
+    if stop_fn is not None:
+        fired = stop_fn(t, y, yp, soc, th)
+        new_flag = jnp.where(fired & (new_flag == EXIT_SIMULATING),
+                             jnp.asarray(12, new_flag.dtype), new_flag)
+
     new_prev = BoundsPrev(
         t_frac=state["t_frac"], V=V, SOC=soc, T=T_mean, c_s_n=c_s_n_max,
         I=I, eta_plating=eta_pl, c_e_min=c_e_min, dfilm=dfilm)
-    return new_prev, state["flag"]
+    return new_prev, new_flag
 
 
 def bounds_dict(bounds, dtype=jnp.float64):

@@ -81,11 +81,17 @@ def _record(bufs, idx, t, y, yp, soc, th, cfg: ModelConfig, vec_outs):
     upd["I"] = bufs["I"].at[idx].set(I)
     upd["P"] = bufs["P"].at[idx].set(I * calc_I1C(th) * V)
     upd["SOC"] = bufs["SOC"].at[idx].set(soc)
+    # external convention: recorded states carry absolute T [K]; the solver
+    # state carries T − T_amb (residuals.build_auxiliary). YP is a rate,
+    # identical in both. Y_final (continuation carry) stays internal.
+    has_T = cfg.numerics.temperature
     for name in vec_outs:
         if name == "Y":
-            val = y
+            val = y.at[L.sl("T")].add(th["T_amb"]) if has_T else y
         elif name == "YP":
             val = yp
+        elif name == "T":
+            val = L.get(y, name) + th["T_amb"]
         else:
             val = L.get(y, name)
         upd[name] = bufs[name].at[idx].set(val)
@@ -203,7 +209,8 @@ def run_once(*,
         jnp.asarray(0.0, dtype), y0, yp0, soc0, prev0, flag0, bounds, th, cfg,
         spec.method, reltol=opts.reltol, tf=tf,
         check_bounds=opts.check_bounds, is_rest=is_rest,
-        is_temperature_hold=is_temperature_hold)
+        is_temperature_hold=is_temperature_hold,
+        stop_fn=opts.stop_function)
     flag0 = jnp.where(~init.converged, EXIT_FAILED, flag0)
 
     rs0 = RunnerState(
@@ -282,7 +289,8 @@ def run_once(*,
         prev, flag = events.check_stop(
             t, y, yp, soc, rs.prev, rs.flag, bounds, th, cfg, spec.method,
             reltol=opts.reltol, tf=tf, check_bounds=opts.check_bounds,
-            is_rest=is_rest, is_temperature_hold=is_temperature_hold)
+            is_rest=is_rest, is_temperature_hold=is_temperature_hold,
+            stop_fn=opts.stop_function)
         flag = jnp.where(st.status != bdf.OK, EXIT_FAILED, flag)
 
         return RunnerState(

@@ -88,3 +88,34 @@ def test_f32_accuracy_vs_f64(p):
     v64 = np.interp(tq, s64.t, s64.V)
     v32 = np.interp(tq, s32.t, s32.V)
     assert np.max(np.abs(v64 - v32)) < 5e-3   # ≤5 mV over the discharge
+
+
+def test_stop_function_hook(p):
+    """User stop hook (reference opts.stop_function, checks.jl:26,
+    structures.jl:283): a traceable predicate stops the run with flag 12."""
+    def stop_below_3p9(t, y, yp, soc, th):
+        return p.layout.V(y) < 3.9
+
+    sol = pt.simulate(p, I=-1, SOC=1, stop_function=stop_below_3p9)
+    assert sol.final_exit_reason() == "Stop function triggered"
+    assert sol.results[-1].flag == 12
+    assert sol.V[-1] < 3.9 and sol.t[-1] < 3600.0
+    # a located bound crossing in the same run takes priority when it fires
+    sol2 = pt.simulate(p, I=-1, SOC=1,
+                       stop_function=lambda t, y, yp, soc, th: t > 1e9)
+    assert sol2.final_exit_reason() == "Below min. SOC"
+
+
+def test_check_errors_initial_thermal():
+    """Construction-time validation (named-parameter message instead of a
+    deep-trace KeyError — exceeds reference checks.jl:377-383)."""
+    with pytest.raises(ValueError, match="l_a"):
+        pt.petlion(pt.NMC, temperature=True)
+
+    def chem_no_sei(**kw):
+        theta, bounds, opts, N, numerics = pt.LCO(aging="SEI", **kw)
+        del theta["R_SEI"]
+        return theta, bounds, opts, N, numerics
+
+    with pytest.raises(ValueError, match="R_SEI"):
+        pt.petlion(chem_no_sei)

