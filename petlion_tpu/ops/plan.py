@@ -26,12 +26,19 @@ class JacobianPlan:
     def __init__(self, cfg: ModelConfig, pattern: np.ndarray,
                  use_schur: bool = True):
         self.cfg = cfg
+        # the control (last) row is computed exactly by one reverse-mode pass
+        # and excluded from the coloring, so declaring it dense costs nothing
+        # — and it MUST be dense: user control functions / derivative holds
+        # may touch any state, including eliminated ones (dc_s_*, dc_e),
+        # which a detected-only pattern would mask out of the Newton matrix.
+        pattern = pattern.copy()
+        pattern[-1, :] = True
         self.colored = ColoredJacobian(pattern)
-        self.split = make_split(cfg.layout)
         self.use_schur = use_schur
         if use_schur:
-            from .structured import (make_sparse_specs, sparse_schur_factor,
-                                     sparse_schur_solve)
+            from .structured import (make_group_split, make_sparse_specs,
+                                     sparse_schur_factor, sparse_schur_solve)
+            self.split = make_group_split(cfg.layout, pattern)
             self._specs = make_sparse_specs(self.colored, self.split)
             colored, specs, split = self.colored, self._specs, self.split
 
@@ -43,6 +50,7 @@ class JacobianPlan:
             self._sparse_factor = sparse_schur_factor
         else:
             from ..solver import linsolve
+            self.split = make_split(cfg.layout)
             self.factor = linsolve.equilibrated_factor
             self.solve = linsolve.equilibrated_solve
             self._specs = None
@@ -85,6 +93,9 @@ def get_plan(cfg: ModelConfig, theta: dict, use_schur: bool = True,
             y[L.sl("Phi_e")] = 0.01 * r.standard_normal(
                 y[L.sl("Phi_e")].shape)
             y[L.sl("j")] = 1e-6 * r.standard_normal(y[L.sl("j")].shape)
+            if "T" in L:   # T state is an offset from T_amb, may start at 0
+                y[L.sl("T")] = y[L.sl("T")] + 2.0 * r.standard_normal(
+                    y[L.sl("T")].shape)
             if "j_s" in L:
                 y[L.sl("j_s")] = -1e-7 * r.random(y[L.sl("j_s")].shape)
             if "film" in L:

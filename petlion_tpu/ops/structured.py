@@ -128,76 +128,75 @@ def schur_solve(fac: SchurLU, b, split: ParticleSplit):
     return x
 
 
-def schur_factor_from_compressed(JS, last_row, colored, specs,
-                                 split: ParticleSplit) -> SchurLU:
-    """Factor directly from the colored-compressed Jacobian (JS, last_row)
-    without materializing the dense (N,N) matrix — the memory lever that
-    lets batches of 10⁴+ cells fit in HBM."""
-    spec_Ap, spec_An, spec_B, spec_C, spec_D = specs
-    sub = colored.submatrix
-    np_, nn_, rp, rn = (split.n_part_p, split.n_part_n, split.r_p, split.r_n)
-
-    Ap_flat = extract_block(JS, last_row, spec_Ap)   # (np_*rp, rp) stacked
-    An_flat = extract_block(JS, last_row, spec_An)
-    inv_p = linsolve.gj_inverse(Ap_flat.reshape(np_, rp, rp))
-    inv_n = linsolve.gj_inverse(An_flat.reshape(nn_, rn, rn))
-
-    B = sub(JS, last_row, spec_B)
-    C = sub(JS, last_row, spec_C)
-    D = sub(JS, last_row, spec_D)
-
-    AinvB = _apply_blocks(inv_p, inv_n, split, B)
-    Dp = D - jnp.matmul(C, AinvB, precision="highest")
-    core_inv = linsolve.equilibrated_inv_factor(Dp)
-    return SchurLU(inv_p=inv_p, inv_n=inv_n, AinvB=AinvB, C=C,
-                   core_inv=core_inv)
-
-
-def make_compressed_specs(colored, split: ParticleSplit):
-    """Static submatrix specs for (A_p, A_n, B, C, D) block extraction."""
-    i1, i2 = split.i_cs, split.i_core
-    np_, nn_, rp, rn = (split.n_part_p, split.n_part_n, split.r_p, split.r_n)
-    # particle blocks stacked: rows of all p-particles (np_*rp), cols per
-    # block — represent as block-stacked 2D: rows i1_p, cols = within-block.
-    # We extract each particle's square block by viewing rows (np_*rp) and
-    # gathering its own columns: build index arrays explicitly.
-    rows_p = i1[: np_ * rp]
-    rows_n = i1[np_ * rp:]
-    # block-diagonal extraction: for row r in particle k, cols are that
-    # particle's i1 range. Build a (np_*rp, rp) column index array.
-    cols_p = (rows_p.reshape(np_, rp)[:, None, :]
-              .repeat(rp, axis=1).reshape(np_ * rp, rp))
-    cols_n = (rows_n.reshape(nn_, rn)[:, None, :]
-              .repeat(rn, axis=1).reshape(nn_ * rn, rn))
-
-    def block_spec(rows, cols2d, colored):
-        color_cols = colored.colors[cols2d]
-        mask = colored._mask_body[rows[:, None], cols2d]
-        return ("block", np.asarray(rows), np.asarray(cols2d),
-                np.asarray(color_cols), mask.astype(np.float64))
-
-    spec_Ap = block_spec(rows_p, cols_p, colored)
-    spec_An = block_spec(rows_n, cols_n, colored)
-    spec_B = colored.submatrix_spec(i1, i2)
-    spec_C = colored.submatrix_spec(i2, i1)
-    spec_D = colored.submatrix_spec(i2, i2)
-    return (spec_Ap, spec_An, spec_B, spec_C, spec_D)
-
-
-def extract_block(JS, last_row, spec):
-    """Per-row column-gather variant for block-diagonal extraction."""
-    _tag, rows, cols2d, color_cols, mask = spec
-    M = JS[jnp.asarray(color_cols), jnp.asarray(rows)[:, None]] \
-        * jnp.asarray(mask, JS.dtype)
-    return M
-
-
 # ---------------------------------------------------------------------------
-# sparse particle coupling: B and C have only a handful of nonzero columns/
-# rows per particle (the surface-flux BC and the kinetics row). Extracting
-# just those turns the Schur complement into tiny gathers + scatter-adds and
-# removes the (n_cs × n_core) dense intermediates entirely.
+# sparse multi-group elimination: every state family whose self-coupling is
+# block-diagonal w.r.t. the others gets eliminated from the core. Groups:
+#   - cathode particles  (N_p blocks of r_p × r_p radial diffusion)
+#   - anode particles    (N_n blocks of r_n × r_n)
+#   - c_e                (one tridiagonal (N_p+N_s+N_n)² block — its rows
+#                         never touch c_s and vice versa, residuals.jl:6-106)
+# For the default LCO mesh this shrinks the dense core from 101 (round 1)
+# to 71 (j, Φ_e, Φ_s, I) — the Gauss-Jordan core factorization is the
+# throughput limiter, and its traffic scales ~n³.
+# B and C have only a handful of nonzero columns/rows per block (surface-flux
+# BC, kinetics row, Φ_e/T source coupling); extracting just those turns the
+# Schur complement into tiny gathers + scatter-adds with no dense
+# (n_elim × n_core) intermediates.
 # ---------------------------------------------------------------------------
+
+
+class GroupSplit(NamedTuple):
+    """Static multi-group elimination layout (host numpy)."""
+    group_rows: tuple        # tuple of (n_part, r) global-index arrays
+    i_core: np.ndarray       # remaining indices (original order)
+
+
+def make_group_split(layout: StateLayout, pattern: np.ndarray) -> GroupSplit:
+    """Choose elimination groups, validating block-diagonality against the
+    detected sparsity pattern (a group pair that couples falls back to the
+    core — correctness never depends on the grouping heuristics)."""
+    N = layout.N
+    s = layout.sl("c_s_avg")
+    i_cs = np.arange(s.start, s.stop)
+    if layout.solid_diffusion == "Fickian":
+        rp, rn = N.r_p, N.r_n
+    else:
+        rp = rn = 1
+    candidates = [
+        i_cs[: N.p * rp].reshape(N.p, rp),
+        i_cs[N.p * rp:].reshape(N.n, rn),
+    ]
+    ce = layout.sl("c_e")
+    candidates.append(np.arange(ce.start, ce.stop).reshape(1, -1))
+
+    # control row stays in the core (it is index N_tot-1, never a candidate)
+    groups = []
+    for g in candidates:
+        flat = g.reshape(-1)
+        # within-group block-diagonality: no coupling between distinct blocks
+        block_ok = True
+        for k in range(g.shape[0]):
+            other_blocks = np.setdiff1d(flat, g[k])
+            if pattern[np.ix_(g[k], other_blocks)].any() or \
+               pattern[np.ix_(other_blocks, g[k])].any():
+                block_ok = False
+                break
+        if not block_ok:
+            continue
+        # cross-group independence vs already-accepted groups
+        ok = True
+        for h in groups:
+            hf = h.reshape(-1)
+            if pattern[np.ix_(flat, hf)].any() or \
+               pattern[np.ix_(hf, flat)].any():
+                ok = False
+                break
+        if ok:
+            groups.append(g)
+    i_elim = (np.concatenate([g.reshape(-1) for g in groups])
+              if groups else np.zeros(0, dtype=np.int64))
+    i_core = np.setdiff1d(np.arange(layout.N_tot), i_elim)
+    return GroupSplit(group_rows=tuple(groups), i_core=i_core)
 
 class CouplingSpec(NamedTuple):
     """Static per-particle-group coupling metadata (host numpy)."""
@@ -246,33 +245,23 @@ def _group_coupling(pattern, rows2d, i2, pos_of):
                         bpos=pos_of[bcols_p], cpos=pos_of[crows_p])
 
 
-def make_sparse_specs(colored, split: ParticleSplit):
-    """Static specs for the fully-sparse Schur factorization."""
-    i1, i2 = split.i_cs, split.i_core
-    np_, nn_, rp, rn = (split.n_part_p, split.n_part_n, split.r_p, split.r_n)
+def make_sparse_specs(colored, split: GroupSplit):
+    """Static specs for the fully-sparse multi-group Schur factorization."""
+    i2 = split.i_core
     pattern = colored.pattern
     pos_of = np.zeros(colored.n, dtype=np.int64)
     pos_of[i2] = np.arange(len(i2))
-    rows_p = i1[: np_ * rp].reshape(np_, rp)
-    rows_n = i1[np_ * rp:].reshape(nn_, rn)
-    cp = _group_coupling(pattern, rows_p, i2, pos_of)
-    cn = _group_coupling(pattern, rows_n, i2, pos_of)
+    cspecs = tuple(_group_coupling(pattern, g, i2, pos_of)
+                   for g in split.group_rows)
     spec_D = colored.submatrix_spec(i2, i2)
-    return (cp, cn, spec_D)
+    return (cspecs, spec_D)
 
 
 class SparseSchur(NamedTuple):
-    inv_p: jax.Array       # (n_p, r, r)
-    inv_n: jax.Array
-    AinvB_p: jax.Array     # (n_p, r, m_b)
-    AinvB_n: jax.Array
-    C_p: jax.Array         # (n_p, m_c, r)
-    C_n: jax.Array
+    """Per-group (inv, AinvB, C) triples + equilibrated core inverse.
+    A nested tuple-of-tuples of arrays — a plain pytree, vmap-transparent."""
+    groups: tuple
     core_inv: tuple
-
-
-def _gcolor(colored):
-    return jnp.asarray(colored.colors)
 
 
 def _extract_B(JS, colored, cs: CouplingSpec):
@@ -294,69 +283,51 @@ def _extract_C(JS, last_row, colored, cs: CouplingSpec, n_tot: int):
                      M)
 
 
-def sparse_schur_factor(JS, last_row, colored, specs, split: ParticleSplit):
-    cp, cn, spec_D = specs
-    np_, nn_, rp, rn = (split.n_part_p, split.n_part_n, split.r_p, split.r_n)
-
-    # particle block inverses (block-diagonal extraction, as before)
-    rows_p, rows_n = cp.rows, cn.rows
-    colc_p = colored.colors[rows_p]                     # (np_, rp)
-    Ap = JS[jnp.asarray(colc_p)[:, None, :], jnp.asarray(rows_p)[:, :, None]]
-    maskA_p = colored.pattern[rows_p[:, :, None], rows_p[:, None, :]]
-    Ap = Ap * jnp.asarray(maskA_p, JS.dtype)
-    colc_n = colored.colors[rows_n]
-    An = JS[jnp.asarray(colc_n)[:, None, :], jnp.asarray(rows_n)[:, :, None]]
-    maskA_n = colored.pattern[rows_n[:, :, None], rows_n[:, None, :]]
-    An = An * jnp.asarray(maskA_n, JS.dtype)
-    inv_p = linsolve.gj_inverse(Ap)
-    inv_n = linsolve.gj_inverse(An)
-
-    B_p = _extract_B(JS, colored, cp)                   # (np_, rp, m_b)
-    B_n = _extract_B(JS, colored, cn)
+def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
+    cspecs, spec_D = specs
     n_tot = colored.n
-    C_p = _extract_C(JS, last_row, colored, cp, n_tot)  # (np_, m_c, rp)
-    C_n = _extract_C(JS, last_row, colored, cn, n_tot)
-
-    AinvB_p = jnp.matmul(inv_p, B_p, precision="highest")
-    AinvB_n = jnp.matmul(inv_n, B_n, precision="highest")
-
     D = colored.submatrix(JS, last_row, spec_D)
-    S_p = jnp.matmul(C_p, AinvB_p, precision="highest")  # (np_, m_c, m_b)
-    S_n = jnp.matmul(C_n, AinvB_n, precision="highest")
-    D = D.at[jnp.asarray(cp.cpos)[:, :, None],
-             jnp.asarray(cp.bpos)[:, None, :]].add(-S_p)
-    D = D.at[jnp.asarray(cn.cpos)[:, :, None],
-             jnp.asarray(cn.bpos)[:, None, :]].add(-S_n)
+    per_group = []
+    for cs in cspecs:
+        rows = cs.rows                                   # (n_part, r)
+        colc = colored.colors[rows]
+        A = JS[jnp.asarray(colc)[:, None, :], jnp.asarray(rows)[:, :, None]]
+        maskA = colored.pattern[rows[:, :, None], rows[:, None, :]]
+        A = A * jnp.asarray(maskA, JS.dtype)
+        # pivot-free GJ is stable here: each block is c0·I minus a (scaled)
+        # diffusion operator — the negative of an M-matrix, which factors
+        # without pivoting (same property KLU's static ordering exploits)
+        inv = linsolve.gj_inverse(A)
+        B = _extract_B(JS, colored, cs)                  # (n_part, r, m_b)
+        C = _extract_C(JS, last_row, colored, cs, n_tot)  # (n_part, m_c, r)
+        AinvB = jnp.matmul(inv, B, precision="highest")
+        S = jnp.matmul(C, AinvB, precision="highest")    # (n_part, m_c, m_b)
+        D = D.at[jnp.asarray(cs.cpos)[:, :, None],
+                 jnp.asarray(cs.bpos)[:, None, :]].add(-S)
+        per_group.append((inv, AinvB, C))
     core_inv = linsolve.equilibrated_inv_factor(D)
-    return SparseSchur(inv_p=inv_p, inv_n=inv_n, AinvB_p=AinvB_p,
-                       AinvB_n=AinvB_n, C_p=C_p, C_n=C_n, core_inv=core_inv)
+    return SparseSchur(groups=tuple(per_group), core_inv=core_inv)
 
 
-def sparse_schur_solve(fac: SparseSchur, b, specs, split: ParticleSplit):
-    cp, cn, _ = specs
-    i1, i2 = split.i_cs, split.i_core
-    np_, nn_, rp, rn = (split.n_part_p, split.n_part_n, split.r_p, split.r_n)
-    b1 = b[..., i1]
-    b2 = b[..., i2]
-    z1p = jnp.matmul(fac.inv_p, b1[: np_ * rp].reshape(np_, rp, 1),
-                     precision="highest")
-    z1n = jnp.matmul(fac.inv_n, b1[np_ * rp:].reshape(nn_, rn, 1),
-                     precision="highest")
-    # rhs2 = b2 - C z1 (scatter-add per particle)
-    cz_p = jnp.matmul(fac.C_p, z1p, precision="highest")[..., 0]
-    cz_n = jnp.matmul(fac.C_n, z1n, precision="highest")[..., 0]
-    rhs2 = b2.at[jnp.asarray(cp.cpos)].add(-cz_p)
-    rhs2 = rhs2.at[jnp.asarray(cn.cpos)].add(-cz_n)
+def sparse_schur_solve(fac: SparseSchur, b, specs, split: GroupSplit):
+    cspecs, _ = specs
+    i2 = split.i_core
+    rhs2 = b[..., i2]
+    zs = []
+    for (inv, AinvB, C), cs in zip(fac.groups, cspecs):
+        n_part, r = cs.rows.shape
+        b1 = b[..., cs.rows.reshape(-1)].reshape(n_part, r, 1)
+        z = jnp.matmul(inv, b1, precision="highest")     # (n_part, r, 1)
+        cz = jnp.matmul(C, z, precision="highest")[..., 0]
+        rhs2 = rhs2.at[jnp.asarray(cs.cpos)].add(-cz)
+        zs.append(z)
     x2 = linsolve.equilibrated_inv_solve(fac.core_inv, rhs2)
-    # x1 = z1 - AinvB x2[bcols]
-    x2b_p = x2[jnp.asarray(cp.bpos)][:, :, None]        # (np_, m_b, 1)
-    x2b_n = x2[jnp.asarray(cn.bpos)][:, :, None]
-    x1p = z1p - jnp.matmul(fac.AinvB_p, x2b_p, precision="highest")
-    x1n = z1n - jnp.matmul(fac.AinvB_n, x2b_n, precision="highest")
     x = jnp.zeros_like(b)
-    x = x.at[..., i1[: np_ * rp]].set(x1p.reshape(-1))
-    x = x.at[..., i1[np_ * rp:]].set(x1n.reshape(-1))
     x = x.at[..., i2].set(x2)
+    for (inv, AinvB, C), cs, z in zip(fac.groups, cspecs, zs):
+        x2b = x2[jnp.asarray(cs.bpos)][:, :, None]       # (n_part, m_b, 1)
+        x1 = z - jnp.matmul(AinvB, x2b, precision="highest")
+        x = x.at[..., cs.rows.reshape(-1)].set(x1.reshape(-1))
     return x
 
 
