@@ -58,12 +58,16 @@ def _gj_kernel(a_ref, out_ref, m_ref, *, n_pad: int, tile_b: int):
         rows = m_ref[:, c0:c0 + BS, :]                  # (TB, BS, 2n)
         blk = rows[:, :, c0:c0 + BS]
         inv = _tiny_gj(blk)
+        # precision HIGHEST: TPU f32 dots default to bf16 multiplies, which
+        # is not enough for an explicit inverse (no residual correction)
         R = jax.lax.dot_general(
             inv, rows, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)         # (TB, BS, 2n)
         C = m_ref[:, :, c0:c0 + BS]                     # (TB, n, BS)
         upd = jax.lax.dot_general(
             C, R, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)         # (TB, n, 2n)
         m_ref[:, :, :] = m_ref[:, :, :] - upd
         m_ref[:, c0:c0 + BS, :] = R
@@ -71,7 +75,8 @@ def _gj_kernel(a_ref, out_ref, m_ref, *, n_pad: int, tile_b: int):
 
 
 def gj_inverse_pallas(A, tile_b: int = 8):
-    """A: (B, n, n) f32 → (B, n, n) inverses. Requires B % tile_b == 0."""
+    """A: (B, n, n) f32 → (B, n, n) inverses. B is padded up to a multiple
+    of tile_b with identity matrices (their inverses are discarded)."""
     B, n, _ = A.shape
     n_pad = ((n + BS - 1) // BS) * BS
     if n_pad != n:
@@ -80,8 +85,12 @@ def gj_inverse_pallas(A, tile_b: int = 8):
         ar = jnp.arange(n, n_pad)
         Ap = Ap.at[:, ar, ar].set(1.0)
         A = Ap
-    assert B % tile_b == 0, (B, tile_b)
-    grid = (B // tile_b,)
+    B_pad = ((B + tile_b - 1) // tile_b) * tile_b
+    if B_pad != B:
+        pad = jnp.broadcast_to(jnp.eye(n_pad, dtype=A.dtype),
+                               (B_pad - B, n_pad, n_pad))
+        A = jnp.concatenate([A, pad], axis=0)
+    grid = (B_pad // tile_b,)
     out = pl.pallas_call(
         partial(_gj_kernel, n_pad=n_pad, tile_b=tile_b),
         grid=grid,
@@ -91,9 +100,33 @@ def gj_inverse_pallas(A, tile_b: int = 8):
         out_specs=pl.BlockSpec((tile_b, n_pad, n_pad),
                                lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, n_pad), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((B_pad, n_pad, n_pad), A.dtype),
         scratch_shapes=[pltpu.VMEM((tile_b, n_pad, 2 * n_pad), A.dtype)],
     )(A)
-    if n_pad != n:
-        out = out[:, :n, :n]
-    return out
+    return out[:B, :n, :n]
+
+
+# ---------------------------------------------------------------------------
+# hot-path entry: a single-matrix function whose *vmap* rule collapses the
+# whole cell batch into one pallas_call — this is how the kernel plugs into
+# the vmapped BDF loop (linsolve.equilibrated_inv_factor) without the caller
+# knowing about batching.
+# ---------------------------------------------------------------------------
+
+if HAVE_PALLAS:
+    from jax.custom_batching import custom_vmap as _custom_vmap
+
+    @_custom_vmap
+    def gj_inverse_hot(A):
+        """(n, n) → (n, n) inverse; batches fuse into one VMEM-resident
+        kernel under vmap."""
+        return gj_inverse_pallas(A[None])[0]
+
+    @gj_inverse_hot.def_vmap
+    def _gj_inverse_hot_vmap(axis_size, in_batched, A):
+        (a_batched,) = in_batched
+        if not a_batched:  # pragma: no cover
+            A = jnp.broadcast_to(A, (axis_size,) + A.shape)
+        return gj_inverse_pallas(A), True
+else:  # pragma: no cover
+    gj_inverse_hot = None

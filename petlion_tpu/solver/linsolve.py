@@ -113,13 +113,44 @@ def gj_inverse_blocked(A, bs: int = 8):
     return inv
 
 
+def _best_bs(n: int) -> int:
+    """Block width minimizing the blocked-GJ HBM traffic ∝ passes·n_pad²
+    (each of the ceil(n/bs) block steps sweeps the padded augmented matrix)."""
+    def cost(bs):
+        nb = -(-n // bs)
+        return nb * (nb * bs) ** 2
+    return min((32, 24, 16), key=cost)
+
+
+def _use_pallas_gj(J) -> bool:
+    """Route large inverses to the VMEM-resident Pallas kernel when tracing
+    for TPU. Decided at trace time: tests/CPU runs fall back to the XLA
+    blocked GJ, which is also the autodiff/interpret reference."""
+    if J.dtype != jnp.float32 or J.shape[-1] <= 16:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        from ..ops.pallas_gj import gj_inverse_hot
+        return gj_inverse_hot is not None
+    except Exception:  # pragma: no cover
+        return False
+
+
 def equilibrated_inv_factor(J):
     """Row/col-equilibrated explicit inverse; solve is one matvec."""
     col = jnp.maximum(jnp.max(jnp.abs(J), axis=-2), 1e-30)
     Jc = J / col[..., None, :]
     row = jnp.maximum(jnp.max(jnp.abs(Jc), axis=-1), 1e-30)
     Js = Jc / row[..., :, None]
-    inv = gj_inverse(Js) if J.shape[-1] <= 16 else gj_inverse_blocked(Js, bs=32)
+    n = J.shape[-1]
+    if n <= 16:
+        inv = gj_inverse(Js)
+    elif _use_pallas_gj(J) and Js.ndim == 2:
+        from ..ops.pallas_gj import gj_inverse_hot
+        inv = gj_inverse_hot(Js)
+    else:
+        inv = gj_inverse_blocked(Js, bs=_best_bs(n))
     return (inv, row, col)
 
 

@@ -21,14 +21,17 @@ def test_pallas_gj_interpret_matches_xla():
     try:
         pl.pallas_call = functools.partial(orig, interpret=True)
         rng = np.random.default_rng(0)
-        B, n = 8, 37
-        A = jnp.asarray(rng.standard_normal((B, n, n)) + 20 * np.eye(n))
-        A = A.astype(jnp.float32)
-        out = pallas_gj.gj_inverse_pallas(A)
+        outs, refs = [], []
+        for B, n in ((8, 37), (5, 71)):   # B=5 exercises batch padding
+            A = jnp.asarray(rng.standard_normal((B, n, n)) + 20 * np.eye(n))
+            A = A.astype(jnp.float32)
+            outs.append(pallas_gj.gj_inverse_pallas(A))
+            refs.append((A, np.linalg.inv(np.asarray(A, np.float64))))
     finally:
         pl.pallas_call = orig
-    ref = np.linalg.inv(np.asarray(A, np.float64))
-    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
-    resid = np.abs(np.asarray(A, np.float64) @ np.asarray(out, np.float64)
-                   - np.eye(n)).max()
-    assert resid < 1e-3
+    for out, (A, ref) in zip(outs, refs):
+        n = A.shape[-1]
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+        resid = np.abs(np.asarray(A, np.float64) @ np.asarray(out, np.float64)
+                       - np.eye(n)).max()
+        assert resid < 1e-3
