@@ -132,6 +132,40 @@ def initial_step_size(y0, yp0, atol, rtol, t_span):
     return jnp.clip(h0, 1e-10, 0.1 * t_span)
 
 
+def dense_eval(D, h, order, t_head, t):
+    """Dense output: evaluate the BDF interpolating polynomial (and its
+    derivative) at time `t` inside the last accepted step.
+
+    The difference array D at step size h represents the Newton
+    backward-difference interpolant through the last `order`+1 solution
+    points ending at t_head:
+
+        y(t_head + θh) = Σ_{j≤k} c_j(θ) ∇ʲy,   c_0 = 1,
+        c_j(θ) = c_{j-1}(θ) · (θ + j − 1) / j
+
+    (θ = 0 reproduces D[0]; θ = −1 the previous point). This replaces the
+    reference's *linear* final-point back-interpolation
+    (interp_final_points!, model_evaluation.jl:369-382) with the integrator's
+    own order-k polynomial — the event-crossing state is then accurate to the
+    integration tolerance instead of O(h²).
+    """
+    dtype = D.dtype
+    theta = (t - t_head) / h
+    y = D[0]
+    yp = jnp.zeros_like(D[0])
+    c = jnp.asarray(1.0, dtype)
+    dc = jnp.asarray(0.0, dtype)
+    ar = jnp.arange(_D_ROWS)
+    for j in range(1, _D_ROWS):
+        dc = (dc * (theta + j - 1.0) + c) / j
+        c = c * (theta + j - 1.0) / j
+        take = (j <= order)
+        y = y + jnp.where(take, c, 0.0) * D[j]
+        yp = yp + jnp.where(take, dc, 0.0) * D[j]
+    del ar
+    return y, yp / h
+
+
 def make_stepper(F: Callable,
                  jac_and_factor: Callable,
                  linsolve: Callable,

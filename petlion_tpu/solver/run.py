@@ -174,7 +174,7 @@ def run_once(*,
     init = consistent_init(F, y0, nd,
                            reltol_init=opts.reltol_init_,
                            maxiter=opts.init_maxiter,
-                           c_e0=float(1000.0))
+                           c_e0=float(1000.0), jac_plan=jac_plan)
     y0, yp0 = init.y, init.yp
 
     # ---- integrator setup ---------------------------------------------------
@@ -264,8 +264,12 @@ def run_once(*,
             def rescue(st):
                 init2 = consistent_init(
                     F, st.D[0], nd, reltol_init=opts.reltol_init_,
-                    maxiter=opts.init_maxiter, t0=t_jump)
-                h_new = jnp.asarray(max(opts.reltol, 1e-3), dtype)
+                    maxiter=opts.init_maxiter, t0=t_jump, jac_plan=jac_plan)
+                # fresh-start step-size heuristic at the post-jump state
+                # (the reference relies on IDASetInitStep after IDAReInit)
+                h_new = bdf.initial_step_size(init2.y, init2.yp, opts.abstol,
+                                              opts.reltol,
+                                              jnp.maximum(tf - t_jump, 1.0))
                 D_new = jnp.zeros_like(st.D)
                 D_new = D_new.at[0].set(init2.y)
                 D_new = D_new.at[1].set(init2.yp * h_new)
@@ -313,19 +317,73 @@ def run_once(*,
     soc_last = rs.soc
     last_idx = jnp.minimum(rs.save_idx - 1, opts.max_save - 1)
 
-    # back-interpolate the final point to the bound crossing
-    # (interp_final_points!, model_evaluation.jl:369-382)
+    # back-interpolate the final point to the bound crossing. The reference
+    # interpolates *linearly* inside the firing step (interp_final_points!,
+    # model_evaluation.jl:369-382); here the crossing is re-localized on the
+    # BDF dense-output polynomial (solver-order accurate), with the linear
+    # t_frac point as fallback when the bracket is degenerate.
     do_interp = (opts.interp_final & (flag > 0) & (t_last > 1.0)
                  & (rs.save_idx > 1))
     frac = rs.prev.t_frac
-    y_f = jnp.where(do_interp, rs.y_prev + frac * (y_last - rs.y_prev), y_last)
-    yp_f = jnp.where(do_interp, rs.yp_prev + frac * (yp_last - rs.yp_prev),
-                     yp_last)
-    t_f = jnp.where(do_interp, rs.t_prev + frac * (t_last - rs.t_prev), t_last)
-    soc_f = jnp.where(
-        do_interp,
-        rs.soc_prev + 0.5 * (t_f - rs.t_prev) * (L.I(y_f) + L.I(rs.y_prev)) / 3600.0,
-        soc_last)
+    t_lin = rs.t_prev + frac * (t_last - rs.t_prev)
+
+    def soc_at(t, y):
+        # same trapezoid rule as the in-loop SOC update
+        return (rs.soc_prev
+                + 0.5 * (t - rs.t_prev) * (L.I(y) + L.I(rs.y_prev)) / 3600.0)
+
+    # "crossed" margin g(t) per exit code (checks.jl flag codes 1-11);
+    # g > 0 once the bound is exceeded. Branches for inactive physics are
+    # stubbed (their codes can never fire).
+    def _stub(t, y, yp, soc):
+        return jnp.asarray(1.0, dtype)
+
+    def _g_T(t, y, yp, soc):
+        return (events._mean_T(L.get(y, "T"), th, cfg) + th["T_amb"]
+                - bounds["T_max"])
+
+    def _g_dfilm(t, y, yp, soc):
+        return jnp.max(yp[L.sl("film")]) - bounds["dfilm_max"]
+
+    g_branches = [
+        lambda t, y, yp, soc: bounds["V_min"] - L.V(y),                # 1
+        lambda t, y, yp, soc: L.V(y) - bounds["V_max"],                # 2
+        lambda t, y, yp, soc: bounds["SOC_min"] - soc,                 # 3
+        lambda t, y, yp, soc: soc - bounds["SOC_max"],                 # 4
+        _g_T if cfg.numerics.temperature else _stub,                   # 5
+        (lambda t, y, yp, soc: (jnp.max(L.c_s_surf(y, "n"))
+                                - bounds["c_s_n_max"] * th["c_max_n"]))
+        if not L.half_cell else _stub,                                 # 6
+        lambda t, y, yp, soc: L.I(y) - bounds["I_max"],                # 7
+        lambda t, y, yp, soc: bounds["I_min"] - L.I(y),                # 8
+        lambda t, y, yp, soc: bounds["c_e_min"] - jnp.min(L.get(y, "c_e")),  # 9
+        _g_dfilm if cfg.numerics.aging == "SEI" else _stub,            # 10
+        lambda t, y, yp, soc: bounds["eta_plating_min"] - L.eta_plating(y),  # 11
+    ]
+    code_idx = jnp.clip(flag - 1, 0, 10)
+
+    def g_at(t):
+        y, yp = bdf.dense_eval(rs.bdf.D, rs.bdf.h, rs.bdf.order, t_last, t)
+        return jax.lax.switch(code_idx, g_branches, t, y, yp, soc_at(t, y))
+
+    localizable = (flag >= 1) & (flag <= 11)
+    g_lo = g_at(rs.t_prev)
+    use_bisect = do_interp & localizable & (g_lo < 0)
+
+    def bisect_body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        crossed = g_at(mid) > 0
+        return (jnp.where(crossed, lo, mid), jnp.where(crossed, mid, hi))
+
+    lo0 = jnp.where(use_bisect, rs.t_prev, t_lin)
+    hi0 = jnp.where(use_bisect, t_last, t_lin)
+    _, t_ref = jax.lax.fori_loop(0, 40, bisect_body, (lo0, hi0))
+
+    t_f = jnp.where(do_interp, jnp.where(use_bisect, t_ref, t_lin), t_last)
+    y_f, yp_f = bdf.dense_eval(rs.bdf.D, rs.bdf.h, rs.bdf.order, t_last, t_f)
+    # dense_eval at t_last reproduces (y_last, yp_last) exactly (θ = 0)
+    soc_f = jnp.where(do_interp, soc_at(t_f, y_f), soc_last)
 
     bufs = jax.tree_util.tree_map(lambda b: b, rs.bufs)
     bufs = _record(bufs, last_idx, t_f, y_f, yp_f, soc_f, th, cfg, vec_outs)

@@ -26,6 +26,7 @@ def p_therm():
     return pt.petlion(pt.LCO, temperature=True)
 
 
+@pytest.mark.fast
 def test_1c_discharge_golden(p_iso):
     sol = pt.simulate(p_iso, I=-1, SOC=1)
     assert sol.final_exit_reason() == "Below min. SOC"
@@ -77,9 +78,14 @@ def test_cc_ct_cv_protocol_f32(p_therm):
     assert sol.final_exit_reason() == "Above max. voltage"
     sol = pt.simulate_cont(sol, p_therm, V="hold", **kw)
     assert sol.final_exit_reason() == "Above max. SOC"
-    # vs the f64 tolerance-converged trajectory (1861.4 s, I=0.1999)
+    # vs the f64 tolerance-converged trajectory (1861.4 s, I=0.1999). The f32
+    # trajectory reaches SOC=1 up to ~1% later in t; the CV taper
+    # (dI/I ≈ -dt/443 s here) turns that into ~4-5% lower exit current, so
+    # the I band is the t band amplified by the taper slope.
     assert abs(sol.t[-1] - 1861.4) / 1861.4 < 0.01
-    assert abs(sol.I[-1] - 0.1999) / 0.1999 < 0.03
+    assert abs(sol.I[-1] - 0.1999) / 0.1999 < 0.06
+    assert abs(sol.V[-1] - 4.1) < 1e-3
+    assert abs(sol.SOC[-1] - 1.0) < 1e-3
 
 
 def test_constant_vs_function_input_equal(p_iso):
@@ -101,6 +107,7 @@ def test_function_input_differs_from_constant(p_iso):
     assert abs(s1.SOC[-1] - s2.SOC[-1]) > 1e-2
 
 
+@pytest.mark.fast
 def test_constant_voltage_and_power(p_iso):
     """runtests.jl:20-26 exercise V= and P= runs."""
     sV = pt.simulate(p_iso, 600.0, V=3.5, SOC=0.5)
@@ -120,12 +127,14 @@ def test_cc_cv_hold_and_I_min_stop(p_iso):
     # reference's analogous run ends at |I| ≈ 0.05
     if sol.final_exit_reason() == "Below min. C-rate":
         assert abs(sol.I[-1] - 0.05) < 5e-3
-    # power continuity across boundary (reference asserts ≈ between segments;
-    # the jump is event back-interp error: 6e-3 at rtol=1e-3, 2e-4 at 1e-7)
+    # power continuity across boundary (reference asserts ≈ between segments).
+    # With dense-output (BDF-polynomial) event localization the jump is
+    # ~1e-4 at default tolerances (linear back-interp, the reference
+    # semantics, gave 6e-3)
     r0, r1 = sol.results[0], sol.results[1]
     P_end_0 = sol.P[r0.run_index][-1]
     P_start_1 = sol.P[r1.run_index][0]
-    np.testing.assert_allclose(P_end_0, P_start_1, rtol=1e-2)
+    np.testing.assert_allclose(P_end_0, P_start_1, rtol=1e-3)
 
 
 def test_outputs_all(p_iso):
@@ -172,8 +181,8 @@ def test_tolerance_convergence(p_iso):
     for rtol, atol in ((1e-3, 1e-6), (1e-6, 1e-8), (1e-8, 1e-10)):
         sol = pt.simulate(p_iso, I=-1, SOC=1, reltol=rtol, abstol=atol)
         v[rtol] = sol.V[-1]
-    # final-point V sits on the steep end-of-discharge cliff, so the
-    # back-interp error (linear, reference semantics) dominates; all
-    # tolerances must agree to ~1 mV and tighter ones to ~0.6 mV
-    assert abs(v[1e-3] - v[1e-8]) < 1e-3
-    assert abs(v[1e-6] - v[1e-8]) < 6e-4
+    # final-point V sits on the steep end-of-discharge cliff; dense-output
+    # event localization makes the final point solver-order accurate
+    # (observed: 5.1e-5 and 6.4e-8)
+    assert abs(v[1e-3] - v[1e-8]) < 2e-4
+    assert abs(v[1e-6] - v[1e-8]) < 1e-6
