@@ -1,30 +1,57 @@
 """Extended benchmark suite: the five BASELINE.json configurations on TPU.
 
-(1) LCO isothermal 1C CC discharge (301 DAEs)
-(2) LCO CC-CV charge with V-hold switching (in-jit protocol, batched)
-(3) LCO thermal CC-CT-CV fast charge with T_max hold
-(4) NMC(-chemistry LCO cell) with SEI aging, cycling with state carry-over
+(1) LCO isothermal 1C CC discharge (301 DAEs), batched
+(2) LCO CC-CV charge with per-cell V-hold switching (in-jit protocol)
+(3) LCO thermal CC-CT-CV fast charge with T_max hold (golden trace, f32)
+(4) LCO with SEI aging, cycling with state carry-over
 (5) 10k-cell GITT-style parameter sweep (chunked batches)
+
+Measurement hygiene (the remote-TPU tunnel memoizes identical
+(program, inputs) executions, which fakes timings):
+- EVERY timed repetition uses fresh-random values for every perturbed θ leaf
+  (a new rng draw, not a deterministic scaling of the warmup inputs);
+- the reported rate uses the MEDIAN of the reps; all rep times are emitted;
+- configs 1 and 5 run the same code path, so their rates must agree —
+  `attempts_per_s` (BDF step attempts × cells / s) is emitted for both as
+  the cross-config consistency check;
+- the XLA static cost of one loop-body trip (≈ one step attempt, whole
+  batch) from `compiled.cost_analysis()` gives an auditable flops/s
+  estimate: est_flops_per_s ≈ body_flops × attempts_per_batch / wall.
 
 Prints one JSON line per config; `python bench.py` remains the single
 headline metric for the driver.
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
+
+# ±5% lognormal-ish spread on key transport/kinetic parameters (GITT-style)
+_SWEPT = {"D_sp": 1e-14, "D_sn": 3.9e-14, "k_p": 2.334e-11, "k_n": 5.031e-11}
+
+
+def _fresh_theta(rng, B):
+    return {k: v * (1 + 0.05 * rng.standard_normal(B))
+            for k, v in _SWEPT.items()}
+
+
+def _attempts(r):
+    """Total BDF step attempts in a RunResultDev batch (accepted + rejected)."""
+    return int(np.asarray(r.n_steps).sum() + np.asarray(r.n_rejected).sum())
 
 
 def main():
     import jax
     jax.config.update("jax_enable_x64", False)
     import petlion_tpu as pt
-    from petlion_tpu.parallel.batch import batch_simulate
+    from petlion_tpu.parallel.batch import batch_simulate, batch_cost_analysis
     from petlion_tpu.protocols import batch_protocol, simulate_protocol
 
     platform = jax.devices()[0].platform
     results = []
+    rng = np.random.default_rng(12345)
 
     def emit(name, **kw):
         out = {"config": name, "platform": platform, **kw}
@@ -32,99 +59,129 @@ def main():
         print(json.dumps(out), flush=True)
 
     f32tol = dict(abstol=5e-4, reltol=1e-3)
+    B = 1024
+    REPS = 5
 
     # ---- (1) 1C CC discharge, batched ------------------------------------
     p = pt.petlion(pt.LCO)
     p.opts = p.opts.replace(max_save=2, maxiters=500, **f32tol)
-    B = 1024
-    rng = np.random.default_rng(0)
-    tb = {"D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B))}
 
-    def run1(eps):
+    def run1():
         r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
-                           theta_batch={k: v * (1 + eps) for k, v in tb.items()},
+                           theta_batch=_fresh_theta(rng, B),
                            outputs=("t", "V"))
         jax.block_until_ready(r.flag)
         return r
 
-    r = run1(0.0)
-    ts = []
-    for i in range(3):
+    run1()                       # compile + tunnel warmup
+    run1()
+    ts, last = [], None
+    for _ in range(REPS):
         t0 = time.time()
-        r = run1(1e-5 * (i + 1))
+        last = run1()
         ts.append(time.time() - t0)
-    emit("1_cc_discharge", batch=B, rate_per_s=round(B / min(ts), 1),
-         ok=float(np.isin(np.asarray(r.flag), (0, 1, 3)).mean()))
+    dt1 = statistics.median(ts)
+    att1 = _attempts(last)
+    try:
+        body_flops = float(batch_cost_analysis(
+            p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=_fresh_theta(rng, B),
+            outputs=("t", "V")).get("flops", float("nan")))
+    except Exception:
+        body_flops = float("nan")
+    # body_flops counts each while_loop body once ≈ one step attempt for the
+    # whole batch with one Newton iteration; attempts are per cell, so the
+    # per-batch trip estimate is attempts/B
+    est_flops = body_flops * (att1 / B) if body_flops == body_flops else None
+    emit("1_cc_discharge", batch=B, rate_per_s=round(B / dt1, 1),
+         rep_times_s=[round(t, 3) for t in ts],
+         ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
+         attempts_per_s=round(att1 / dt1, 1),
+         xla_body_flops=body_flops,
+         est_flops_per_s=(round(est_flops / dt1, 1) if est_flops else None))
 
     # ---- (2) CC-CV with per-cell V-hold switching, one jit ----------------
     segs = [dict(I=2.0, V_max=4.1, SOC_max=1.0), dict(V="hold", SOC_max=1.0)]
 
-    def run2(eps):
+    def run2():
         rs = batch_protocol(p, segs, SOC=0.0,
-                            theta_batch={"D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)) * (1 + eps)},
+                            theta_batch=_fresh_theta(rng, B),
                             max_save=2, maxiters=500, **f32tol)
         jax.block_until_ready(rs[-1].flag)
         return rs
 
-    rs = run2(0.0)
-    ts = []
-    for i in range(3):
+    run2()
+    run2()
+    ts, rs = [], None
+    for _ in range(REPS):
         t0 = time.time()
-        rs = run2(1e-5 * (i + 1))
+        rs = run2()
         ts.append(time.time() - t0)
     cc, cv = rs
-    emit("2_cc_cv_protocol", batch=B, rate_per_s=round(B / min(ts), 1),
+    emit("2_cc_cv_protocol", batch=B,
+         rate_per_s=round(B / statistics.median(ts), 1),
+         rep_times_s=[round(t, 3) for t in ts],
          cc_exit_Vmax=float((np.asarray(cc.flag) == 2).mean()),
          cv_exit_SOCmax=float((np.asarray(cv.flag) == 4).mean()),
          switch_time_spread_s=float(np.asarray(cc.t_final).std()))
 
-    # ---- (3) thermal CC-CT-CV (golden protocol), single cell --------------
+    # ---- (3) thermal CC-CT-CV (golden protocol), single cell, f32 ---------
+    # reference README.md:27-36: 1865.61 s, final 0.1959C — the f32 path runs
+    # since the T−T_amb state layout (tolerance-converged: ~1861 s, 0.1999C)
     pth = pt.petlion(pt.LCO, temperature=True)
-    t0 = time.time()
-    sol = simulate_protocol(pth, [
+    kw3 = dict(SOC=0.0, max_save=256, **f32tol)
+    protocol3 = [
         dict(I=4, V_max=4.1, T_max=40 + 273.15),
         dict(dT="hold", V_max=4.1),
         dict(V="hold"),
-    ], SOC=0.0, max_save=256, **f32tol)
+    ]
+    sol = simulate_protocol(pth, protocol3, **kw3)   # compile + warmup
+    t0 = time.time()
+    sol = simulate_protocol(pth, protocol3, **kw3)
     wall = time.time() - t0
     emit("3_thermal_cc_ct_cv", t_sim=round(float(sol.t[-1]), 2),
          I_final=round(float(sol.I[-1]), 4),
-         exit=sol.final_exit_reason(), wall_s_incl_compile=round(wall, 1),
+         exit=sol.final_exit_reason(), wall_s=round(wall, 2),
          ref_t_sim=1865.61, ref_I_final=0.1959,
-         note=("f32 limitation: the dT-hold re-initialization diverges in "
-               "single precision (temperature quantization, ulp(313K)~3e-5K);"
-               " the f64 path reproduces the reference trace to 0.04% — see "
-               "tests/test_simulate.py::test_cc_ct_cv_protocol_golden"))
+         within_1pct=bool(abs(float(sol.t[-1]) - 1865.61) / 1865.61 < 0.01))
 
     # ---- (4) SEI aging, cycling with carry-over ---------------------------
     page = pt.petlion(pt.LCO, aging="SEI")
+
+    def run4():
+        s = pt.simulate(page, I=1, SOC=0.3, SOC_max=0.9, V_max=4.25,
+                        outputs=("t", "V", "SOH"), **f32tol)
+        for _ in range(2):
+            s = pt.simulate_cont(s, page, I=-1, SOC_min=0.3, V_min=2.8)
+            s = pt.simulate_cont(s, page, I=1, SOC_max=0.9, V_max=4.25)
+        return s
+
+    sol = run4()                 # compile + warmup
     t0 = time.time()
-    sol = pt.simulate(page, I=1, SOC=0.3, SOC_max=0.9, V_max=4.25,
-                      outputs=("t", "V", "SOH"), **f32tol)
-    for _ in range(2):
-        sol = pt.simulate_cont(sol, page, I=-1, SOC_min=0.3, V_min=2.8)
-        sol = pt.simulate_cont(sol, page, I=1, SOC_max=0.9, V_max=4.25)
+    sol = run4()
     wall = time.time() - t0
     soh = np.asarray(sol.arrays["SOH"])
     emit("4_sei_cycling", cycles=2.5, soh_final=round(float(soh[-1]), 6),
          soh_monotone=bool(np.all(np.diff(soh[:, 0]) <= 1e-12)),
-         wall_s_incl_compile=round(wall, 1))
+         wall_s=round(wall, 2))
 
     # ---- (5) 10k-cell GITT-style sweep (chunked) ---------------------------
-    p.opts = p.opts.replace(max_save=2, maxiters=500, **f32tol)
+    # same code path as config 1 → per-chunk rate must match config 1's rate
     total, chunk = 10240, 1024
-    done = 0
+    kept = []
     t0 = time.time()
     for c in range(total // chunk):
-        tbc = {"D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(chunk)),
-               "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(chunk))}
-        r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tbc,
+        r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
+                           theta_batch=_fresh_theta(rng, chunk),
                            outputs=("t", "V"))
         jax.block_until_ready(r.flag)
-        done += int(np.isin(np.asarray(r.flag), (0, 1, 3)).sum())
+        kept.append(r)   # device→host fetches cost ~0.5 s through the
+        # tunnel and knock it out of steady state — fetch after the clock
     wall = time.time() - t0
+    done = sum(int(np.isin(np.asarray(r.flag), (0, 1, 3)).sum()) for r in kept)
+    att5 = sum(_attempts(r) for r in kept)
     emit("5_10k_sweep", cells=total, completed=done,
-         wall_s=round(wall, 1), rate_per_s=round(total / wall, 1))
+         wall_s=round(wall, 1), rate_per_s=round(total / wall, 1),
+         attempts_per_s=round(att5 / wall, 1))
 
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=1)

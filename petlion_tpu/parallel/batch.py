@@ -50,26 +50,10 @@ def _batch_core(y_start, soc0, value, tf, th, bounds,
     return jax.vmap(one, in_axes=in_axes)(y_start, soc0, value, th, bounds)
 
 
-def batch_simulate(p: Model,
-                   tf: float = 1e6,
-                   *,
-                   n_cells: Optional[int] = None,
-                   theta_batch: Optional[dict] = None,
-                   SOC=None,
-                   value_batch=None,
-                   mesh: Optional[Mesh] = None,
-                   axis_name: str = "cells",
-                   fast_solver: bool = True,
-                   **kwargs):
-    """Run the same control segment over a batch of cells.
-
-    theta_batch: dict of θ overrides with a leading batch dim (other θ keys
-    broadcast). SOC / value_batch may be scalars or (B,) arrays. With `mesh`,
-    the batch axis is sharded over the mesh's `axis_name` dimension (pure DP
-    over ICI).
-
-    Returns the device-side RunResultDev with a leading batch axis.
-    """
+def _prepare_batch(p: Model, tf, *, n_cells=None, theta_batch=None, SOC=None,
+                   value_batch=None, mesh=None, axis_name="cells",
+                   fast_solver=True, **kwargs):
+    """Build the (dynamic args, static kwargs) pair for `_batch_core`."""
     dtype = default_dtype()
     th = p._theta_dev(dtype)
     th_axes = {}
@@ -137,9 +121,56 @@ def batch_simulate(p: Model,
     if fast_solver:
         from ..ops.plan import get_plan
         jac_plan = get_plan(p.cfg, p.theta)
-    return _batch_core(y_start, soc_b, value, jnp.asarray(tf, dtype), th,
-                       bdict, p.cfg, spec, opts, is_rest, is_th,
-                       th_axes_t, bound_axes_t, value_axis, 0, jac_plan)
+    args = (y_start, soc_b, value, jnp.asarray(tf, dtype), th, bdict)
+    statics = dict(cfg=p.cfg, spec=spec, opts=opts, is_rest=is_rest,
+                   is_temperature_hold=is_th, th_axes=th_axes_t,
+                   bound_axes=bound_axes_t, value_axis=value_axis,
+                   soc_axis=0, jac_plan=jac_plan)
+    return args, statics
+
+
+def batch_simulate(p: Model,
+                   tf: float = 1e6,
+                   *,
+                   n_cells: Optional[int] = None,
+                   theta_batch: Optional[dict] = None,
+                   SOC=None,
+                   value_batch=None,
+                   mesh: Optional[Mesh] = None,
+                   axis_name: str = "cells",
+                   fast_solver: bool = True,
+                   **kwargs):
+    """Run the same control segment over a batch of cells.
+
+    theta_batch: dict of θ overrides with a leading batch dim (other θ keys
+    broadcast). SOC / value_batch may be scalars or (B,) arrays. With `mesh`,
+    the batch axis is sharded over the mesh's `axis_name` dimension (pure DP
+    over ICI).
+
+    Returns the device-side RunResultDev with a leading batch axis.
+    """
+    args, statics = _prepare_batch(
+        p, tf, n_cells=n_cells, theta_batch=theta_batch, SOC=SOC,
+        value_batch=value_batch, mesh=mesh, axis_name=axis_name,
+        fast_solver=fast_solver, **kwargs)
+    return _batch_core(*args, **statics)
+
+
+def batch_cost_analysis(p: Model, tf: float = 1e6, **kwargs) -> dict:
+    """XLA cost analysis of the compiled batched run (auditable perf claims).
+
+    Returns the compiler's static operation counts (`flops`, bytes accessed,
+    ...) for ONE trip through each `while_loop` body — i.e. approximately the
+    cost of a single BDF step *attempt* with one Newton iteration, for the
+    whole batch. Multiply by measured step attempts to estimate total work
+    (the loops' trip counts are dynamic, so XLA cannot count them statically).
+    """
+    args, statics = _prepare_batch(p, tf, **kwargs)
+    compiled = _batch_core.lower(*args, **statics).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):   # older jax returns [dict]
+        ca = ca[0] if ca else {}
+    return dict(ca) if ca else {}
 
 
 def make_cell_mesh(axis_name: str = "cells", devices=None) -> Mesh:
