@@ -38,10 +38,10 @@ def _common_kwargs(kw, defaults):
 def Li_metal_theta():
     """Lithium-foil anode parameter set (reference params.jl:854-922).
 
-    The reference defines these values and a `lithium_foil` marker but never
-    wires a half-cell system; exposed here so users can overlay them on a
-    full-cell model (`p.theta.update(Li_metal_theta())` with
-    OCV_n=ocv.OCV_Li_metal) — dedicated half-cell physics is a known gap.
+    The reference defines these values and a `lithium_foil` marker
+    (structures.jl:24, checks.jl:391) but never wires a half-cell system.
+    Here they back the runnable half-cell configuration
+    ``petlion(LCO, anode="Li_metal")`` (see `_li_metal_overlay`).
     """
     return {
         "D_sn": 0.0, "k_n": 1e-4, "lambda_MHC_n": 0.0,
@@ -57,6 +57,30 @@ def Li_metal_theta():
     }
 
 
+def _li_metal_overlay(theta: dict):
+    """Overlay foil-anode θ for the half-cell (reference params.jl:854-922).
+
+    Deviations from the reference's (unused) values, each forced by making
+    the configuration actually runnable:
+    - theta_min_n/theta_max_n = 0/1: the foil has the full stoichiometric
+      range (the reference's 1/0 ordering violates its own
+      check_errors_parameters_runtime, checks.jl:370 — evidence the values
+      were never exercised);
+    - c_max_n = 76945 mol/m³: the molar density of lithium metal
+      (ρ=534 kg/m³ / M=6.941 g/mol) — with ε_s=1 the anode capacity term in
+      calc_I1C (1.92 mol/m²) honestly exceeds any cathode, so the 1C rate is
+      cathode-limited as a half-cell must be;
+    - eps_n = 0: a foil is solid (the reference's 0.25 describes a porous
+      Li-metal composite that its own physics can't represent either).
+    """
+    theta.update(Li_metal_theta())
+    theta.update({
+        "theta_max_n": 1.0, "theta_min_n": 0.0,
+        "c_max_n": 76945.0,
+        "eps_n": 0.0, "eps_fn": 0.0,
+    })
+
+
 # ---------------------------------------------------------------------------
 # LCO | LiC6  (params.jl:5-289)
 # ---------------------------------------------------------------------------
@@ -69,6 +93,7 @@ def LCO(
     solid_diffusion: str = "Fickian",
     Fickian_method: str = "finite_difference",
     aging: Optional[str] = None,
+    anode: str = "LiC6",          # "LiC6" | "Li_metal" (half-cell)
     D_s_eff: Callable = transport.D_s_eff,
     rxn_rate: Callable = transport.rxn_rate,
     D_eff: Callable = transport.D_eff_linear,
@@ -110,6 +135,9 @@ def LCO(
         "Cp_s": 700.0, "Cp_a": 897.0, "Cp_z": 385.0,
         "h_cell": 1.0,
     }
+    if anode == "Li_metal":
+        _li_metal_overlay(theta)
+        OCV_n = ocv.OCV_Li_metal
     bounds = Bounds(V_min=2.5, V_max=4.3, SOC_min=0.0, SOC_max=1.0,
                     T_max=55 + 273.15)
     opts = SimOptions(SOC=SOC, outputs=("t", "V"), abstol=1e-6, reltol=1e-3)
@@ -117,7 +145,7 @@ def LCO(
     numerics = Numerics(
         temperature=temperature, solid_diffusion=solid_diffusion,
         Fickian_method=Fickian_method, aging=aging,
-        cathode="LCO", anode="LiC6",
+        cathode="LCO", anode=anode if anode == "Li_metal" else "LiC6",
         rxn_p=rxn_p, rxn_n=rxn_n, OCV_p=OCV_p, OCV_n=OCV_n,
         D_s_eff=D_s_eff, rxn_rate=rxn_rate, D_eff=D_eff, K_eff=K_eff,
         thermodynamic_factor=thermodynamic_factor,
@@ -193,6 +221,7 @@ def NMC_LGM50(
     solid_diffusion: str = "Fickian",
     Fickian_method: str = "finite_difference",
     aging: Optional[str] = None,   # the reference marks :stress "unused"
+    anode: str = "LiC6_LGM50",     # | "Li_metal" (half-cell)
     D_s_eff: Callable = transport.D_s_eff,
     rxn_rate: Callable = transport.rxn_rate,
     D_eff: Callable = transport.D_eff_LGM50,
@@ -241,6 +270,9 @@ def NMC_LGM50(
         "h_cell": 1.0,
         "m_LAM": 2.0, "beta_LAM": 1.9e-6,
     }
+    if anode == "Li_metal":
+        _li_metal_overlay(theta)
+        OCV_n = ocv.OCV_Li_metal
     bounds = Bounds(V_min=2.5, V_max=4.2, SOC_min=0.0, SOC_max=1.0,
                     T_max=55 + 273.15)
     opts = SimOptions(SOC=SOC, outputs=("t", "V"), abstol=1e-6, reltol=1e-3)
@@ -248,7 +280,7 @@ def NMC_LGM50(
     numerics = Numerics(
         temperature=temperature, solid_diffusion=solid_diffusion,
         Fickian_method=Fickian_method, aging=aging,
-        cathode="NMC_LGM50", anode="LiC6_LGM50",
+        cathode="NMC_LGM50", anode=anode,
         rxn_p=rxn_p, rxn_n=rxn_n, OCV_p=OCV_p, OCV_n=OCV_n,
         D_s_eff=D_s_eff, rxn_rate=rxn_rate, D_eff=D_eff, K_eff=K_eff,
         thermodynamic_factor=thermodynamic_factor,

@@ -63,6 +63,7 @@ class StateLayout:
     N_diff: int
     N_alg: int
     N_tot: int
+    half_cell: bool = False
 
     # ---- construction -----------------------------------------------------
 
@@ -70,10 +71,21 @@ class StateLayout:
     def build(N: Discretizations, numerics: Numerics) -> "StateLayout":
         fick = numerics.solid_diffusion == "Fickian"
         sei = numerics.aging == "SEI"
+        # half-cell (lithium-foil anode): no porous anode domain — the foil
+        # is a boundary of the separator. No c_s_n/j_n/Φ_s_n states; c_e and
+        # Φ_e live on (p, s); the foil potential is the ground (Φ_foil ≡ 0).
+        # The reference defines Li_metal θ values and a `lithium_foil`
+        # marker (params.jl:854-922, structures.jl:24) but never wires them;
+        # this is the full working configuration it gestures at.
+        hc = numerics.anode == "Li_metal"
 
         def secs(*pairs):
+            # half-cell: anode sections are kept with length 0, so every
+            # section slice stays valid and anodic branches vanish naturally
             out, off = [], 0
             for name, ln in pairs:
+                if name == "n" and hc:
+                    ln = 0
                 out.append((name, off, ln))
                 off += ln
             return tuple(out), off
@@ -127,6 +139,7 @@ class StateLayout:
             N_diff=n_diff,
             N_alg=pos - n_diff,
             N_tot=pos,
+            half_cell=hc,
         )
 
     # ---- access -----------------------------------------------------------
@@ -163,9 +176,10 @@ class StateLayout:
         """
         e = self.entries["c_s_avg"]
         if self.solid_diffusion == "Fickian":
-            n_el = getattr(self.N, electrode)
             n_r = getattr(self.N, "r_" + electrode)
-            base = e.sl(electrode).start
+            s = e.sl(electrode)
+            n_el = (s.stop - s.start) // n_r   # 0 for the half-cell anode
+            base = s.start
             return np.arange(1, n_el + 1) * n_r - 1 + base
         return np.arange(e.sl(electrode).start, e.sl(electrode).stop)
 
@@ -176,8 +190,11 @@ class StateLayout:
     # convenience scalars
     def V(self, y):
         """Cell voltage = Φ_s[first cathode CV] - Φ_s[last anode CV]
-        (scalar_residual.jl:86)."""
+        (scalar_residual.jl:86). Half-cell: the lithium foil is the ground
+        (Φ_foil ≡ 0), so V = Φ_s[first cathode CV]."""
         ps = self.sl("Phi_s")
+        if self.half_cell:
+            return y[..., ps.start]
         return y[..., ps.start] - y[..., ps.stop - 1]
 
     def I(self, y):
@@ -186,12 +203,21 @@ class StateLayout:
 
     def eta_plating(self, y):
         """Plating overpotential at separator-anode interface
-        (scalar_residual.jl:92)."""
+        (scalar_residual.jl:92). Half-cell: the foil surface overpotential
+        vs Li/Li⁺, η = Φ_foil − Φ_e(foil) = −Φ_e[last separator CV]."""
+        if self.half_cell:
+            return -y[..., self.sl("Phi_e").stop - 1]
         return (y[..., self.sl("Phi_s", "n").start]
                 - y[..., self.sl("Phi_e", "n").start])
 
     def soc_from_state(self, y, th):
-        """SOC estimate from mean anode stoichiometry (scalar_residual.jl:95-102)."""
+        """SOC estimate from mean anode stoichiometry (scalar_residual.jl:95-102).
+        Half-cell: from cathode stoichiometry (the foil has no state of charge)."""
+        if self.half_cell:
+            c_s_p = self.get(y, "c_s_avg", "p")
+            frac = c_s_p.mean(axis=-1) / th["c_max_p"]
+            return ((frac - th["theta_min_p"])
+                    / (th["theta_max_p"] - th["theta_min_p"]))
         c_s_n = self.get(y, "c_s_avg", "n")
         frac = c_s_n.mean(axis=-1) / th["c_max_n"]
         return (frac - th["theta_min_n"]) / (th["theta_max_n"] - th["theta_min_n"])

@@ -50,10 +50,11 @@ def make_split(layout: StateLayout) -> ParticleSplit:
     i_core = np.concatenate([np.arange(0, s.start),
                              np.arange(s.stop, layout.N_tot)])
     N = layout.N
+    n_n = 0 if layout.half_cell else N.n   # foil anode: no particle blocks
     if layout.solid_diffusion == "Fickian":
-        return ParticleSplit(i_cs, i_core, N.p, N.n, N.r_p, N.r_n)
+        return ParticleSplit(i_cs, i_core, N.p, n_n, N.r_p, N.r_n)
     # quadratic/polynomial: each "particle block" is a 1x1 scalar
-    return ParticleSplit(i_cs, i_core, N.p, N.n, 1, 1)
+    return ParticleSplit(i_cs, i_core, N.p, n_n, 1, 1)
 
 
 class SchurLU(NamedTuple):
@@ -162,10 +163,10 @@ def make_group_split(layout: StateLayout, pattern: np.ndarray) -> GroupSplit:
         rp, rn = N.r_p, N.r_n
     else:
         rp = rn = 1
-    candidates = [
-        i_cs[: N.p * rp].reshape(N.p, rp),
-        i_cs[N.p * rp:].reshape(N.n, rn),
-    ]
+    candidates = [i_cs[: N.p * rp].reshape(N.p, rp)]
+    i_cs_n = i_cs[N.p * rp:]
+    if i_cs_n.size:   # absent for half-cells (foil anode has no c_s states)
+        candidates.append(i_cs_n.reshape(-1, rn))
     ce = layout.sl("c_e")
     candidates.append(np.arange(ce.start, ce.stop).reshape(1, -1))
 

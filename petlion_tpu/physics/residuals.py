@@ -45,6 +45,13 @@ class ModelConfig:
         return ModelConfig(N=N, numerics=numerics,
                            layout=StateLayout.build(N, numerics))
 
+    @property
+    def half_cell(self) -> bool:
+        """Lithium-foil anode: no porous anode domain (the configuration the
+        reference gestures at with `lithium_foil`/Li_metal — structures.jl:24,
+        params.jl:854-922, checks.jl:391 — but never wires)."""
+        return self.numerics.anode == "Li_metal"
+
 
 # ---------------------------------------------------------------------------
 # 1C current density (auxiliary...jl:631-647)
@@ -76,13 +83,16 @@ def harmonic_mean(beta, x1, x2):
     return x1 * x2 / (beta * x2 + (1.0 - beta) * x1)
 
 
-def cell_widths_psn(N: Discretizations, th):
-    """Per-CV widths h over the concatenated (p,s,n) grid [m]."""
-    return jnp.concatenate([
+def cell_widths_psn(N: Discretizations, th, half_cell: bool = False):
+    """Per-CV widths h over the concatenated (p,s,n) grid [m].
+    Half-cell: the anode is a foil boundary, not a domain — (p,s) only."""
+    parts = [
         jnp.full((N.p,), th["l_p"] / N.p),
         jnp.full((N.s,), th["l_s"] / N.s),
-        jnp.full((N.n,), th["l_n"] / N.n),
-    ])
+    ]
+    if not half_cell:
+        parts.append(jnp.full((N.n,), th["l_n"] / N.n))
+    return jnp.concatenate(parts)
 
 
 def cell_widths_thermal(N: Discretizations, th):
@@ -245,23 +255,24 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
     # extra digits. Absolute T is reconstructed here for every physical
     # consumer (Arrhenius factors, kinetics, heat sources); _res_T works on
     # the offset directly. yp is a rate, identical in both representations.
+    n_eff = 0 if cfg.half_cell else N.n   # anode CVs (0: foil boundary)
     if num.temperature:
         T_off = L.get(y, "T")
         T_full = T_off + th["T_amb"]
     else:
-        n_all = N.a + N.p + N.s + N.n + N.z
+        n_all = N.a + N.p + N.s + n_eff + N.z
         T_off = jnp.zeros((n_all,), y.dtype)
         T_full = jnp.full((n_all,), th["T0"], dtype=y.dtype)
     T_p = T_full[N.a:N.a + N.p]
     T_s = T_full[N.a + N.p:N.a + N.p + N.s]
-    T_n = T_full[N.a + N.p + N.s:N.a + N.p + N.s + N.n]
+    T_n = T_full[N.a + N.p + N.s:N.a + N.p + N.s + n_eff]
 
     # j_total = j + j_s on the anode (auxiliary:160-178)
     if num.aging == "SEI":
         j_s = L.get(y, "j_s")
         j_total = j.at[N.p:].add(j_s)
     else:
-        j_s = jnp.zeros((N.n,), y.dtype)
+        j_s = jnp.zeros((n_eff,), y.dtype)
         j_total = j
 
     I1C = calc_I1C(th)
@@ -274,7 +285,7 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
     porosity = jnp.concatenate([
         jnp.full((N.p,), 1.0 - (th["eps_fp"] + eps_sp), dtype=y.dtype),
         jnp.full((N.s,), th["eps_s"], dtype=y.dtype) * jnp.ones((N.s,), y.dtype),
-        jnp.full((N.n,), 1.0 - (th["eps_fn"] + eps_sn), dtype=y.dtype),
+        jnp.full((n_eff,), 1.0 - (th["eps_fn"] + eps_sn), dtype=y.dtype),
     ])
 
     sigma_eff_p = th["sigma_p"] * eps_sp
@@ -348,9 +359,16 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
 # ---------------------------------------------------------------------------
 
 def _res_c_e(aux, yp, th, cfg: ModelConfig):
-    """Electrolyte diffusion (residuals.jl:6-106)."""
+    """Electrolyte diffusion (residuals.jl:6-106).
+
+    Half-cell: the porous-anode source becomes a boundary molar flux at the
+    foil face of the last separator CV — the foil strips/plates Li at
+    j_foil = −I_density/F (Faraday's law; sign: discharge I<0 strips Li into
+    the electrolyte), of which the (1−t₊) fraction is the net source, exactly
+    the same treatment a porous anode source receives per unit length.
+    """
     N, L = cfg.N, cfg.layout
-    h = cell_widths_psn(N, th)
+    h = cell_widths_psn(N, th, cfg.half_cell)
     c_e = aux["c_e"]
     D_edge = edge_interp(aux["D_eff"], h)
     flux = D_edge * edge_grad(c_e, h)
@@ -362,6 +380,9 @@ def _res_c_e(aux, yp, th, cfg: ModelConfig):
         jnp.zeros((N.s,), c_e.dtype),
         (1.0 - th["t_plus"]) * nu_n * aux["a_n"] * aux["j_total"][N.p:],
     ])
+    if cfg.half_cell:
+        j_foil = -aux["I_density"] / F
+        src = src.at[-1].add((1.0 - th["t_plus"]) * nu_s[-1] * j_foil / h[-1])
     rhs = (rhs + src) / aux["porosity"]
     return rhs - yp[L.sl("c_e")]
 
@@ -398,13 +419,14 @@ def _res_c_s_avg(aux, y, yp, th, cfg: ModelConfig):
     """Solid diffusion (residuals.jl:108-235)."""
     N, num, L = cfg.N, cfg.numerics, cfg.layout
     j = aux["j"]
+    n_eff = 0 if cfg.half_cell else N.n
     if num.solid_diffusion == "Fickian":
         radial = (_fickian_rhs if num.Fickian_method == "finite_difference"
                   else _spectral_rhs)
         rhs_p = radial(L.get(y, "c_s_avg", "p"), j[:N.p], th["Rp_p"],
                        aux["D_s_p"], N.p, N.r_p)
         rhs_n = radial(L.get(y, "c_s_avg", "n"), j[N.p:], th["Rp_n"],
-                       aux["D_s_n"], N.n, N.r_n)
+                       aux["D_s_n"], n_eff, N.r_n)
         rhs = jnp.concatenate([rhs_p, rhs_n])
     else:
         # quadratic / polynomial: dc_s/dt = -3 j / Rp (residuals.jl:108-127)
@@ -508,9 +530,19 @@ def _res_j_s(aux, y, th, cfg: ModelConfig):
 
 
 def _res_Phi_e(aux, th, cfg: ModelConfig):
-    """Electrolyte potential (residuals.jl:554-654)."""
+    """Electrolyte potential (residuals.jl:554-654).
+
+    Full cell: the last row grounds Φ_e(x=L)=0 (residuals.jl:586) — valid
+    because the FVM rows are redundant by one (both boundary ionic currents
+    are zero and total charge balance is enforced by the Φ_s/I rows).
+    Half-cell: the same redundant row instead carries the lithium-foil
+    charge balance, F·j_foil(η_foil) + I_density = 0, with the foil grounded
+    (Φ_foil ≡ 0) so η_foil = −Φ_e at the foil face. This pins the Φ_e level
+    through the foil kinetics (the physically meaningful ground) and closes
+    the system without any porous-anode states.
+    """
     N = cfg.N
-    h = cell_widths_psn(N, th)
+    h = cell_widths_psn(N, th, cfg.half_cell)
     c_e = aux["c_e"]
     K_edge = edge_interp(aux["K_eff"], h)
 
@@ -519,7 +551,8 @@ def _res_Phi_e(aux, th, cfg: ModelConfig):
 
     # migration (concentration) term at internal edges:
     # prod = K̂ T̄ ∂ₓc̄ / c̄ (residuals.jl:631-635)
-    T_psn = aux["T_full"][N.a:N.a + N.p + N.s + N.n]
+    n_eff = 0 if cfg.half_cell else N.n
+    T_psn = aux["T_full"][N.a:N.a + N.p + N.s + n_eff]
     T_edge = edge_interp(T_psn, h)
     c_edge = edge_interp(c_e, h)
     dc_edge = edge_grad(c_e, h)
@@ -543,8 +576,23 @@ def _res_Phi_e(aux, th, cfg: ModelConfig):
     fp = jnp.concatenate([z, fluxPhi, z])
     APhi = -(fp[1:] - fp[:-1])
     res = APhi - f
-    # BC row: Φ_e(x=L) = 0 (residuals.jl:586)
-    res = res.at[-1].set(aux["Phi_e"][-1])
+    if cfg.half_cell:
+        # foil BV row: reuse the configured reaction model (BV/MHC/...) at a
+        # fixed mid-stoichiometry surface activity — foil kinetics are
+        # quasi-reversible at these current densities, so only the order of
+        # magnitude of the exchange term matters (sets a µV-mV overpotential)
+        num = cfg.numerics
+        c_e_foil = c_e[-1]
+        T_foil = T_psn[-1]
+        eta_foil = -aux["Phi_e"][-1]
+        c_s_ref = 0.5 * th["c_max_n"]
+        _, k_n = num.rxn_rate(aux["T_p"], T_foil, aux["c_s_star_p"], c_s_ref, th)
+        j_foil = num.rxn_n(c_s_ref, c_e_foil, T_foil, eta_foil, k_n,
+                           th.get("lambda_MHC_n", 0.0), th["c_max_n"], th)
+        res = res.at[-1].set(F * j_foil + aux["I_density"])
+    else:
+        # BC row: Φ_e(x=L) = 0 (residuals.jl:586)
+        res = res.at[-1].set(aux["Phi_e"][-1])
     return res
 
 
@@ -569,6 +617,10 @@ def _res_Phi_s(aux, th, cfg: ModelConfig):
     f_p = h_p**2 * aux["a_p"] * F * j_tot[:N.p]
     f_p = f_p.at[0].add(-I_density * h_p)
     f_p = f_p / aux["sigma_eff_p"]
+
+    if cfg.half_cell:
+        # the foil has no distributed solid potential (Φ_foil ≡ 0 ground)
+        return electrode(Phi_s[:N.p], f_p)
 
     f_n = h_n**2 * aux["a_n"] * F * j_tot[N.p:]
     f_n = f_n.at[-1].add(+I_density * h_n)

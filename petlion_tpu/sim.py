@@ -105,6 +105,16 @@ def _check_errors_initial(theta: dict, numerics: Numerics):
                     _REQUIRED_THETA["temperature"])
     if numerics.aging == "SEI":
         missing_for("aging='SEI'", _REQUIRED_THETA["SEI"])
+    if numerics.anode == "Li_metal":
+        if numerics.temperature:
+            raise ValueError(
+                "anode='Li_metal' (half-cell) does not support "
+                "temperature=True: the foil's thermal section is not wired; "
+                "pass temperature=False")
+        if numerics.aging == "SEI":
+            raise ValueError(
+                "anode='Li_metal' (half-cell) does not support aging='SEI': "
+                "the SEI model lives on the porous anode's particles")
 
 
 def petlion(chemistry: Callable = LCO, **kwargs) -> Model:
@@ -245,6 +255,10 @@ def _build_control(p: Model, sol: Optional[Solution], kwargs):
         y_last = np.asarray(last_Y())
         if name.startswith("dc_s"):
             electrode = name[5]
+            if electrode == "n" and p.cfg.half_cell:
+                raise ValueError(
+                    "dc_s_n_* controls are meaningless for a half-cell "
+                    "(the lithium foil has no solid concentration states)")
             idx_all = p.cfg.layout.c_s_surface_slice(electrode)
         else:
             s = p.cfg.layout.sl("c_e")

@@ -120,11 +120,14 @@ def check_stop(t, y, yp, soc, prev: BoundsPrev, flag, bounds: dict, th,
         state = fire(state, (T_mean - bounds["T_max"] > eps) & (dT_mean > 0),
                      prev.T, bounds["T_max"], T_mean, 5)
 
-    # anode surface concentration (checks.jl:126-161)
-    c_s_n_max = jnp.max(L.c_s_surf(y, "n"))
-    state = fire(state,
-                 (I > 0) & (c_s_n_max - bounds["c_s_n_max"] * th["c_max_n"] > eps),
-                 prev.c_s_n, bounds["c_s_n_max"] * th["c_max_n"], c_s_n_max, 6)
+    # anode surface concentration (checks.jl:126-161); a lithium foil has no
+    # saturation concentration — the bound is meaningless for half-cells
+    c_s_n_max = prev.c_s_n
+    if not L.half_cell:
+        c_s_n_max = jnp.max(L.c_s_surf(y, "n"))
+        state = fire(state,
+                     (I > 0) & (c_s_n_max - bounds["c_s_n_max"] * th["c_max_n"] > eps),
+                     prev.c_s_n, bounds["c_s_n_max"] * th["c_max_n"], c_s_n_max, 6)
 
     # minimum electrolyte concentration (checks.jl:163-183)
     c_e_min = jnp.min(L.get(y, "c_e"))
