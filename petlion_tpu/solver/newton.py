@@ -34,10 +34,13 @@ class InitResult(NamedTuple):
 
 def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
                     maxiter=100, c_e0=1000.0,
-                    init_algebraic_derivatives=True, t0=0.0) -> InitResult:
+                    init_algebraic_derivatives=True, t0=0.0,
+                    jac_plan=None) -> InitResult:
     """F(t, y, yp) -> full residual (with control row). y0: initial guess.
     `t0` is the initialization time (0 for fresh runs; the post-discontinuity
-    time for mid-run re-initializations)."""
+    time for mid-run re-initializations). With `jac_plan`, the algebraic
+    Jacobian uses the plan's column coloring (~n_colors JVP sweeps instead of
+    n_alg dense jacfwd columns — the init was ~27% of a batched discharge)."""
     dtype = y0.dtype
     n_tot = y0.shape[-1]
     n_alg = n_tot - n_diff
@@ -60,8 +63,11 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
         it, y, dnorm, _lu = carry
         y_diff, y_alg = y[:n_diff], y[n_diff:]
         r = alg_res(y_alg, y_diff)
-        J = jax.jacfwd(alg_res)(y_alg, y_diff)
-        lu = linsolve.equilibrated_inv_factor(J)
+        if jac_plan is not None:
+            lu = jac_plan.factor_alg(alg_res, y_alg, y_diff)
+        else:
+            J = jax.jacfwd(alg_res)(y_alg, y_diff)
+            lu = linsolve.equilibrated_inv_factor(J)
         step = linsolve.equilibrated_inv_solve(lu, r)
         # trust-region cap: a near-singular row (f32 noise floors, extreme
         # setpoints) can produce astronomically long Newton steps whose
