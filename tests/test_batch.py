@@ -41,6 +41,7 @@ def test_fast_solver_matches_dense(p):
     np.testing.assert_allclose(s_fast.t[-1], s_dense.t[-1], rtol=1e-10)
 
 
+@pytest.mark.fast
 def test_sharded_batch_runs(p):
     """8-virtual-device mesh: sharded batch executes and matches unsharded."""
     mesh = make_cell_mesh("cells")

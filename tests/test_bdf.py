@@ -7,6 +7,8 @@ import pytest
 
 from petlion_tpu.solver import bdf, linsolve
 
+pytestmark = pytest.mark.fast
+
 
 def _solve(F, t0, y0, yp0, tf, atol=1e-8, rtol=1e-8, max_steps=5000):
     jac = linsolve.make_dense_jacfwd(F)

@@ -1,9 +1,12 @@
 """State-layout parity with the reference index layout (external.jl:275-365)."""
 
 import numpy as np
+import pytest
 
 from petlion_tpu.config import Discretizations, Numerics
 from petlion_tpu.layout import StateLayout
+
+pytestmark = pytest.mark.fast
 
 
 def _layout(**kw):

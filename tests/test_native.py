@@ -5,6 +5,8 @@ import pytest
 
 from petlion_tpu.runtime import native
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module", autouse=True)
 def require_native():

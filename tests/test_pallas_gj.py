@@ -6,6 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.fast
+
 
 def test_pallas_gj_interpret_matches_xla():
     from petlion_tpu.ops import pallas_gj

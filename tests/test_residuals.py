@@ -10,6 +10,8 @@ from petlion_tpu.physics.initial_guess import initial_guess
 from petlion_tpu.physics.residuals import (ModelConfig, calc_I1C,
                                            residual_core)
 
+pytestmark = pytest.mark.fast
+
 
 def make_cfg(chem=LCO, **kw):
     theta, bounds, opts, N, numerics = chem(**kw)
