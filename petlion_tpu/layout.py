@@ -105,6 +105,13 @@ class StateLayout:
             s, ln = secs(("n", N.n))
             decl.append(("film", "differential", s, ln))
             decl.append(("SOH", "differential", (), 1))
+        if numerics.aging == "stress":
+            # stress-driven loss of active material: ε_s per electrode CV.
+            # The reference names this mode (params.jl:701 `aging = :stress,
+            # # unused`) and ships its θ (E, ν, Ω, σ_critical, m_LAM, β_LAM)
+            # but adds no states/physics; this is the working model.
+            s, ln = secs(("p", N.p), ("n", N.n))
+            decl.append(("eps_s", "differential", s, ln))
         if numerics.solid_diffusion == "polynomial":
             s, ln = secs(("p", N.p), ("n", N.n))
             decl.append(("Q", "differential", s, ln))

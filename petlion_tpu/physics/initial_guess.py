@@ -36,6 +36,9 @@ def initial_guess(SOC, th, cfg: ModelConfig, dtype=None):
     if num.aging == "SEI":
         y = y.at[L.sl("SOH")].set(1.0)
         # film and j_s stay 0
+    if num.aging == "stress":
+        y = y.at[L.sl("eps_s", "p")].set(1.0 - (th["eps_fp"] + th["eps_p"]))
+        y = y.at[L.sl("eps_s", "n")].set(1.0 - (th["eps_fn"] + th["eps_n"]))
     # Q stays 0 (polynomial); j, Φ_e stay 0
     y = y.at[L.sl("Phi_s", "p")].set(U_p)
     y = y.at[L.sl("Phi_s", "n")].set(U_n)

@@ -279,13 +279,19 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
     I_density = L.I(y) * I1C  # [A/m²] (auxiliary:54-70)
 
     eps_sp, eps_sn = active_material(th)
+    if num.aging == "stress":
+        # active-material fractions are per-CV states under stress-LAM;
+        # clamp ≥0 so a single-step overshoot past the ε_s>0 rate gate
+        # cannot produce a negative interfacial area
+        eps_sp = jnp.maximum(L.get(y, "eps_s", "p"), 0.0)
+        eps_sn = jnp.maximum(L.get(y, "eps_s", "n"), 0.0)
     a_p = 3.0 * eps_sp / th["Rp_p"]
     a_n = 3.0 * eps_sn / th["Rp_n"]
 
     porosity = jnp.concatenate([
-        jnp.full((N.p,), 1.0 - (th["eps_fp"] + eps_sp), dtype=y.dtype),
+        jnp.broadcast_to(1.0 - (th["eps_fp"] + eps_sp), (N.p,)).astype(y.dtype),
         jnp.full((N.s,), th["eps_s"], dtype=y.dtype) * jnp.ones((N.s,), y.dtype),
-        jnp.full((n_eff,), 1.0 - (th["eps_fn"] + eps_sn), dtype=y.dtype),
+        jnp.broadcast_to(1.0 - (th["eps_fn"] + eps_sn), (n_eff,)).astype(y.dtype),
     ])
 
     sigma_eff_p = th["sigma_p"] * eps_sp
@@ -340,7 +346,31 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
     D_eff = jnp.concatenate(num.D_eff(c_e_p, c_e_s, c_e_n, T_p, T_s, T_n, th))
     nu = num.thermodynamic_factor(c_e_p, c_e_s, c_e_n, T_p, T_s, T_n, th)
 
+    # surface hydrostatic particle stress (stress-LAM aging). Christensen-
+    # Newman simplified shell stress at the particle surface:
+    #   σ_h = (2 Ω E)/(9(1−ν)) · (c̄ − c_surf)
+    # (tensile σ_h > 0 when the surface is depleted relative to the bulk).
+    sigma_h_p = sigma_h_n = None
+    if num.aging == "stress":
+        if num.solid_diffusion == "Fickian":
+            w = _radial_volume_weights(N.r_p, y.dtype)
+            cbar_p = jnp.matmul(
+                L.get(y, "c_s_avg", "p").reshape(-1, N.r_p), w,
+                precision="highest")
+            w_n = _radial_volume_weights(N.r_n, y.dtype)
+            cbar_n = jnp.matmul(
+                L.get(y, "c_s_avg", "n").reshape(-1, N.r_n), w_n,
+                precision="highest")
+        else:
+            cbar_p = L.get(y, "c_s_avg", "p")
+            cbar_n = L.get(y, "c_s_avg", "n")
+        sigma_h_p = (2.0 * th["Omega_p"] * th["E_p"]
+                     / (9.0 * (1.0 - th["nu_p"]))) * (cbar_p - c_s_star_p)
+        sigma_h_n = (2.0 * th["Omega_n"] * th["E_n"]
+                     / (9.0 * (1.0 - th["nu_n"]))) * (cbar_n - c_s_star_n)
+
     return dict(
+        sigma_h_p=sigma_h_p, sigma_h_n=sigma_h_n,
         c_e=c_e, j=j, j_s=j_s, j_total=j_total, Phi_e=Phi_e, Phi_s=Phi_s,
         T_full=T_full, T_off=T_off, T_p=T_p, T_s=T_s, T_n=T_n,
         I1C=I1C, I_density=I_density,
@@ -435,6 +465,45 @@ def _res_c_s_avg(aux, y, yp, th, cfg: ModelConfig):
             -3.0 * j[N.p:] / th["Rp_n"],
         ])
     return rhs - yp[L.sl("c_s_avg")]
+
+
+@lru_cache(maxsize=None)
+def _radial_volume_weights_np(n_r: int):
+    """Trapezoid weights for the particle volume average c̄ = 3∫₀¹ c r² dr
+    on the uniform radial grid, normalized so a constant c gives c̄ = c."""
+    r = np.linspace(0.0, 1.0, n_r)
+    w = 3.0 * r * r
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    w /= w.sum()
+    return w
+
+
+def _radial_volume_weights(n_r: int, dtype):
+    return jnp.asarray(_radial_volume_weights_np(n_r), dtype)
+
+
+def _res_eps_s(aux, y, yp, th, cfg: ModelConfig):
+    """Stress-driven loss of active material (LAM):
+
+        dε_s/dt = −β_LAM · (⟨σ_h⟩₊ / σ_critical)^m_LAM · 1[ε_s > 0]
+
+    per electrode CV, with σ_h the surface hydrostatic stress from
+    `build_auxiliary`. This is the standard stress-LAM degradation model
+    (Reniers-Mulder-Howey 2019 / O'Kane et al. 2022); the reference names
+    the mode and ships its θ (params.jl:701 `aging = :stress, # unused`,
+    m_LAM/β_LAM at params.jl:785-786) but implements no physics for it.
+    The ε_s > 0 gate (same pattern as the j_s charge gate) keeps the
+    fraction physical — LAM cannot destroy more than all the material.
+    """
+    L = cfg.layout
+    rate_p = -th["beta_LAM"] * (jnp.maximum(aux["sigma_h_p"], 0.0)
+                                / th["sigma_critical_p"]) ** th["m_LAM"]
+    rate_n = -th["beta_LAM"] * (jnp.maximum(aux["sigma_h_n"], 0.0)
+                                / th["sigma_critical_n"]) ** th["m_LAM"]
+    rhs = jnp.concatenate([rate_p, rate_n])
+    rhs = jnp.where(y[L.sl("eps_s")] > 0.0, rhs, 0.0)
+    return rhs - yp[L.sl("eps_s")]
 
 
 def _res_Q(aux, y, yp, th, cfg: ModelConfig):
@@ -782,6 +851,8 @@ def residual_core(t, y, yp, th, cfg: ModelConfig):
     if num.aging == "SEI":
         parts.append(_res_film(aux, yp, th, cfg))
         parts.append(_res_SOH(aux, yp, th, cfg))
+    if num.aging == "stress":
+        parts.append(_res_eps_s(aux, y, yp, th, cfg))
     if num.solid_diffusion == "polynomial":
         parts.append(_res_Q(aux, y, yp, th, cfg))
 

@@ -89,6 +89,9 @@ _REQUIRED_THETA = {
                     "Cp_a", "Cp_p", "Cp_s", "Cp_n", "Cp_z",
                     "sigma_a", "sigma_z", "h_cell", "T_amb"),
     "SEI": ("R_SEI", "k_n_aging", "M_n", "rho_n", "i_0_jside", "Uref_s", "w"),
+    "stress": ("E_p", "nu_p", "Omega_p", "sigma_critical_p",
+               "E_n", "nu_n", "Omega_n", "sigma_critical_n",
+               "m_LAM", "beta_LAM"),
 }
 
 
@@ -105,6 +108,17 @@ def _check_errors_initial(theta: dict, numerics: Numerics):
                     _REQUIRED_THETA["temperature"])
     if numerics.aging == "SEI":
         missing_for("aging='SEI'", _REQUIRED_THETA["SEI"])
+    if numerics.aging == "stress":
+        missing_for("aging='stress' (stress-driven LAM)",
+                    _REQUIRED_THETA["stress"])
+        if (numerics.solid_diffusion == "Fickian"
+                and numerics.Fickian_method == "spectral"):
+            raise ValueError(
+                "aging='stress' needs the particle volume-average "
+                "concentration; quadrature weights for the spectral "
+                "(Chebyshev) radial grid are not wired — use "
+                "Fickian_method='finite_difference' or a reduced-order "
+                "solid_diffusion model")
     if numerics.anode == "Li_metal":
         if numerics.temperature:
             raise ValueError(

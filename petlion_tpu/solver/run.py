@@ -29,7 +29,7 @@ from .newton import consistent_init
 # outputs that can be recorded per accepted step; scalars are always kept
 SCALAR_OUTPUTS = ("t", "V", "I", "P", "SOC")
 VECTOR_OUTPUTS = ("c_e", "c_s_avg", "T", "film", "Q", "j", "j_s",
-                  "Phi_e", "Phi_s", "SOH", "Y", "YP")
+                  "Phi_e", "Phi_s", "SOH", "eps_s", "Y", "YP")
 
 
 class RunnerState(NamedTuple):
