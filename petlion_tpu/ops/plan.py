@@ -36,13 +36,19 @@ class JacobianPlan:
         self.colored = ColoredJacobian(pattern)
         self.use_schur = use_schur
         if use_schur:
-            from .structured import (make_group_split, make_sparse_specs,
-                                     sparse_schur_factor, sparse_schur_solve)
+            from ..solver import linsolve
+            from .structured import (SparseSchur, make_group_split,
+                                     make_sparse_specs, sparse_schur_factor,
+                                     sparse_schur_solve)
             self.split = make_group_split(cfg.layout, pattern)
             self._specs = make_sparse_specs(self.colored, self.split)
             colored, specs, split = self.colored, self._specs, self.split
 
             def solve(fac, b):
+                if not isinstance(fac, SparseSchur):
+                    # f32 thermal fallback factorization (see
+                    # factor_compressed): pivoted dense LU
+                    return linsolve.equilibrated_solve(fac, b)
                 return sparse_schur_solve(fac, b, specs, split)
 
             self.factor = None  # compressed-only path
@@ -104,9 +110,23 @@ class JacobianPlan:
     def factor_compressed(self, g, y):
         """Jacobian + factorization straight from the colored JVP sweeps —
         neither the dense (N,N) matrix nor the (n_cs × n_core) coupling
-        blocks are ever materialized."""
+        blocks are ever materialized.
+
+        f32 + temperature routes to the pivoted dense LU of the colored
+        matrix instead: measured cond(J) on thermal protocols reaches
+        1e14-1e16 (the dT-hold control row is nearly linearly dependent on
+        the T rows), where pivot-free elimination in single precision
+        produces O(10) relative solve error while the pivoted LU of the
+        SAME matrix stays at ~1e-5 — the f32 analogue of the reference
+        leaning on KLU's pivoting (scalar_residual.jl:489-499). The branch
+        is static (dtype is fixed at trace time), so isothermal f32 and all
+        f64 keep the Schur fast path with zero overhead."""
         if self._specs is None:
             return self.factor(self.colored(g, y))
+        if (y.dtype == jnp.float32
+                and getattr(self.cfg.numerics, "temperature", False)):
+            from ..solver import linsolve
+            return linsolve.equilibrated_factor(self.colored(g, y))
         JS, last = self.colored.compressed(g, y)
         return self._sparse_factor(JS, last, self.colored, self._specs,
                                    self.split)

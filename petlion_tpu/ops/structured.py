@@ -260,7 +260,16 @@ def make_sparse_specs(colored, split: GroupSplit):
 
 class SparseSchur(NamedTuple):
     """Per-group (inv, AinvB, C) triples + equilibrated core inverse.
-    A nested tuple-of-tuples of arrays — a plain pytree, vmap-transparent."""
+    A nested tuple-of-tuples of arrays — a plain pytree, vmap-transparent.
+
+    NOTE (f32 conditioning, measured): thermal configs with derivative-hold
+    controls reach cond(J) ≈ 1e14-1e16 (the dT control row is nearly
+    linearly dependent on the T rows); NO pivot-free elimination survives
+    that in f32 — the Schur base solve error is O(10) where the pivoted
+    dense LU of the same matrix gets 3e-5. `JacobianPlan.factor_compressed`
+    therefore routes f32+temperature runs to the pivoted dense-LU path;
+    this factorization is used for isothermal f32 (well-conditioned,
+    validated) and all f64."""
     groups: tuple
     core_inv: tuple
 
@@ -297,8 +306,17 @@ def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
         A = A * jnp.asarray(maskA, JS.dtype)
         # pivot-free GJ is stable here: each block is c0·I minus a (scaled)
         # diffusion operator — the negative of an M-matrix, which factors
-        # without pivoting (same property KLU's static ordering exploits)
-        inv = linsolve.gj_inverse(A)
+        # without pivoting (same property KLU's static ordering exploits).
+        # Row/col equilibration before the inverse keeps the f32 path
+        # accurate when the block is stiff (large D_s/dr² vs small γ), then
+        # folds the scalings back so `inv` is the plain A⁻¹:
+        #   A⁻¹ = diag(1/col) · inv(Ds) · diag(1/row)
+        colA = jnp.maximum(jnp.max(jnp.abs(A), axis=-2), 1e-30)
+        rowA = jnp.maximum(jnp.max(jnp.abs(A / colA[..., None, :]), axis=-1),
+                           1e-30)
+        inv_s = linsolve.gj_inverse(A / colA[..., None, :]
+                                    / rowA[..., :, None])
+        inv = inv_s / colA[..., :, None] / rowA[..., None, :]
         B = _extract_B(JS, colored, cs)                  # (n_part, r, m_b)
         C = _extract_C(JS, last_row, colored, cs, n_tot)  # (n_part, m_c, r)
         AinvB = jnp.matmul(inv, B, precision="highest")
@@ -308,6 +326,18 @@ def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
         per_group.append((inv, AinvB, C))
     core_inv = linsolve.equilibrated_inv_factor(D)
     return SparseSchur(groups=tuple(per_group), core_inv=core_inv)
+
+
+def colored_matvec(JS, last_row, colored, x):
+    """J·x from the compressed colored sweeps: J[i,j] = JS[color[j], i] on
+    the pattern (exact control row from `last_row`). One (n × n_colors)
+    contraction — negligible next to a factorization."""
+    seeds = jnp.asarray(colored._seeds, x.dtype)          # (n_colors, n)
+    pattern = jnp.asarray(colored._mask_body, x.dtype)    # (n, n)
+    # W[i, c] = Σ_{j: color[j]=c} pattern[i, j] · x[j]
+    W = jnp.matmul(pattern * x[None, :], seeds.T, precision="highest")
+    Jx = jnp.einsum("ci,ic->i", JS, W, precision="highest")
+    return Jx.at[-1].set(jnp.dot(last_row, x, precision="highest"))
 
 
 def sparse_schur_solve(fac: SparseSchur, b, specs, split: GroupSplit):

@@ -353,11 +353,14 @@ def build_auxiliary(t, y, th, cfg: ModelConfig):
     sigma_h_p = sigma_h_n = None
     if num.aging == "stress":
         if num.solid_diffusion == "Fickian":
-            w = _radial_volume_weights(N.r_p, y.dtype)
+            _weights = (_spectral_volume_weights
+                        if num.Fickian_method == "spectral"
+                        else _radial_volume_weights)
+            w = _weights(N.r_p, y.dtype)
             cbar_p = jnp.matmul(
                 L.get(y, "c_s_avg", "p").reshape(-1, N.r_p), w,
                 precision="highest")
-            w_n = _radial_volume_weights(N.r_n, y.dtype)
+            w_n = _weights(N.r_n, y.dtype)
             cbar_n = jnp.matmul(
                 L.get(y, "c_s_avg", "n").reshape(-1, N.r_n), w_n,
                 precision="highest")
@@ -481,6 +484,37 @@ def _radial_volume_weights_np(n_r: int):
 
 def _radial_volume_weights(n_r: int, dtype):
     return jnp.asarray(_radial_volume_weights_np(n_r), dtype)
+
+
+@lru_cache(maxsize=None)
+def _spectral_volume_weights_np(n_r: int):
+    """Clenshaw–Curtis weights for the particle volume average on the
+    Chebyshev radial grid of `_spectral_rhs`.
+
+    With nodes x_k = cos(kπ/N) and radius ρ = (x+1)/2 (x=+1 is the particle
+    surface), c̄ = 3∫₀¹ c ρ² dρ = (3/8)∫₋₁¹ c(x)(x+1)² dx, evaluated by
+    Clenshaw–Curtis quadrature (exact for the polynomial weight), then
+    reversed into storage order (index n_r−1 = surface, matching
+    `_spectral_rhs`) and normalized so a constant c gives c̄ = c.
+    """
+    N = n_r - 1
+    x = np.cos(np.linspace(0.0, np.pi, N + 1))
+    w_cc = np.zeros(N + 1)
+    for k in range(N + 1):
+        s = 0.0
+        for j in range(1, N // 2 + 1):
+            b = 1.0 if 2 * j == N else 2.0
+            s += b / (4.0 * j * j - 1.0) * np.cos(2.0 * j * k * np.pi / N)
+        c = 1.0 if k in (0, N) else 2.0
+        w_cc[k] = (c / N) * (1.0 - s)
+    w = (3.0 / 8.0) * w_cc * (x + 1.0) ** 2
+    w = w[::-1].copy()          # cheb order (surface first) → storage order
+    w /= w.sum()
+    return w
+
+
+def _spectral_volume_weights(n_r: int, dtype):
+    return jnp.asarray(_spectral_volume_weights_np(n_r), dtype)
 
 
 def _res_eps_s(aux, y, yp, th, cfg: ModelConfig):

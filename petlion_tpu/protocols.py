@@ -43,10 +43,11 @@ def _prep(p: Model, segment_dicts, opts_overrides):
 
 
 def simulate_protocol(p: Model, segment_dicts, *, SOC: Optional[float] = None,
-                      fast_solver: bool = True, **opts_overrides) -> Solution:
+                      fast_solver: bool = True, dtype=None,
+                      **opts_overrides) -> Solution:
     """Run a full multi-segment protocol in one jit; returns a Solution with
     one RunResult per segment."""
-    dtype = default_dtype()
+    dtype = default_dtype() if dtype is None else dtype
     th = p._theta_dev(dtype)
     opts, segments, values, tfs, bounds_list = _prep(p, segment_dicts,
                                                      opts_overrides)
@@ -75,9 +76,18 @@ def simulate_protocol(p: Model, segment_dicts, *, SOC: Optional[float] = None,
             flag=flag, exit_reason=exit_reason_string(flag),
             n_steps=int(res.n_steps), n_rejected=int(res.n_rejected),
             init_converged=bool(res.init_converged))
+        # public Y_final carries absolute T [K] (reference-interchangeable);
+        # the internal T-offset state is kept alongside for lossless
+        # continuation (same convention as sim.simulate)
+        y_final_ext = np.asarray(res.y_final)
+        if p.numerics.temperature:
+            sl_T = p.cfg.layout.sl("T")
+            y_final_ext = y_final_ext.copy()
+            y_final_ext[sl_T] += float(p.theta["T_amb"])
         sol.append_run(host_bufs, n_saved, t_offset, meta,
-                       res.y_final, res.yp_final, res.soc_final)
+                       y_final_ext, res.yp_final, res.soc_final)
         t_offset += float(res.t_final) + 1e-12
+    sol._Y_final_int = np.asarray(results[-1].y_final)
     sol._outputs = opts.outputs
     return sol
 
@@ -86,12 +96,12 @@ def batch_protocol(p: Model, segment_dicts, *,
                    theta_batch: Optional[dict] = None,
                    n_cells: Optional[int] = None,
                    SOC=None, mesh=None, axis_name: str = "cells",
-                   fast_solver: bool = True, **opts_overrides):
+                   fast_solver: bool = True, dtype=None, **opts_overrides):
     """Vmapped protocol over a fleet of cells. Returns the raw per-segment
     RunResultDev list (leading batch axis) for zero-copy downstream use."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    dtype = default_dtype()
+    dtype = default_dtype() if dtype is None else dtype
     th = p._theta_dev(dtype)
     opts, segments, values, tfs, bounds_list = _prep(p, segment_dicts,
                                                      opts_overrides)

@@ -111,14 +111,6 @@ def _check_errors_initial(theta: dict, numerics: Numerics):
     if numerics.aging == "stress":
         missing_for("aging='stress' (stress-driven LAM)",
                     _REQUIRED_THETA["stress"])
-        if (numerics.solid_diffusion == "Fickian"
-                and numerics.Fickian_method == "spectral"):
-            raise ValueError(
-                "aging='stress' needs the particle volume-average "
-                "concentration; quadrature weights for the spectral "
-                "(Chebyshev) radial grid are not wired — use "
-                "Fickian_method='finite_difference' or a reduced-order "
-                "solid_diffusion model")
     if numerics.anode == "Li_metal":
         if numerics.temperature:
             raise ValueError(

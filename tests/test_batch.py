@@ -88,3 +88,30 @@ def test_batch_protocol_percell_switching(p):
     assert (np.asarray(cv.flag) == 4).all()         # all topped out SOC
     soc = np.asarray(cv.soc_final)
     np.testing.assert_allclose(soc, 1.0, atol=2e-3)
+
+
+def test_protocol_thermal_f32():
+    """The flagship thermal CC-CT-CV protocol through the IN-JIT protocol
+    runner in f32 (the TPU dtype) — regression for the round-2 bug where the
+    f32 sparse-Schur fast path silently produced O(10)-relative-error solves
+    on the cond≈1e15 dT-hold system (the host-chained golden passed because
+    it defaulted to fast_solver=False, so the gap was only in this path).
+    `JacobianPlan.factor_compressed` now routes f32+thermal to the pivoted
+    dense LU of the colored matrix."""
+    pth = pt.petlion(pt.LCO, temperature=True)
+    sol = simulate_protocol(pth, [
+        dict(I=4, V_max=4.1, T_max=40 + 273.15),
+        dict(dT="hold", V_max=4.1),
+        dict(V="hold"),
+    ], SOC=0.0, max_save=256, abstol=5e-4, reltol=1e-3,
+        dtype=jnp.float32)
+    assert [r.exit_reason for r in sol.results] == [
+        "Above max. temperature", "Above max. voltage", "Above max. SOC"]
+    # reference README trace 1865.61 s / 0.1959C; same band as the host
+    # f32 golden (tests/test_simulate.py::test_cc_ct_cv_protocol_f32)
+    assert abs(sol.t[-1] - 1865.61) / 1865.61 < 0.01
+    assert abs(sol.I[-1] - 0.1959) / 0.1959 < 0.06
+    # public Y_final carries absolute T [K] (regression: the protocol
+    # path used to return the internal T-offset state unconverted)
+    T_fin = np.asarray(sol.Y_final)[pth.cfg.layout.sl("T")]
+    assert np.all(T_fin > 290.0) and np.all(T_fin < 330.0)

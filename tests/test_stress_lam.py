@@ -65,3 +65,42 @@ def test_zero_beta_matches_no_aging(p_lam):
 def test_missing_theta_message():
     with pytest.raises(ValueError, match="stress-driven LAM"):
         pt.petlion(pt.LCO, aging="stress")
+
+
+def test_spectral_volume_weights_exact():
+    """Clenshaw–Curtis weights reproduce the analytic moments of
+    c̄ = 3∫₀¹ c ρ² dρ on the Chebyshev grid (storage order)."""
+    from petlion_tpu.physics.residuals import (
+        _spectral_volume_weights_np, cheb_matrix)
+    for n_r in (6, 10, 16):
+        w = _spectral_volume_weights_np(n_r)
+        _, x = cheb_matrix(n_r)
+        rho = ((x + 1.0) / 2.0)[::-1]
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-14)
+        np.testing.assert_allclose(w @ rho**2, 3.0 / 5.0, atol=1e-12)
+        np.testing.assert_allclose(w @ rho**4, 3.0 / 7.0, rtol=2e-4)
+
+
+def test_spectral_stress_lam_matches_fdm():
+    """aging='stress' on the spectral radial grid agrees with the FDM grid
+    (both resolve the same surface stress physics; schemes converge to the
+    same trajectory)."""
+    p_fdm = pt.petlion(pt.NMC_LGM50, aging="stress", temperature=False)
+    p_sp = pt.petlion(pt.NMC_LGM50, aging="stress", temperature=False,
+                      Fickian_method="spectral")
+    for q in (p_fdm, p_sp):
+        q.theta["beta_LAM"] = 5e-5      # amplified so loss is measurable,
+                                        # mild enough that both runs complete
+    s_fdm = pt.simulate(p_fdm, 600.0, I=-1, SOC=1.0,
+                        outputs=("t", "V", "eps_s"))
+    s_sp = pt.simulate(p_sp, 600.0, I=-1, SOC=1.0,
+                       outputs=("t", "V", "eps_s"))
+    assert s_fdm.final_exit_reason() == "Final time reached"
+    assert s_sp.final_exit_reason() == "Final time reached"
+    np.testing.assert_allclose(s_sp.V[-1], s_fdm.V[-1], rtol=2e-3)
+    loss_fdm = (np.asarray(s_fdm.arrays["eps_s"])[0]
+                - np.asarray(s_fdm.arrays["eps_s"])[-1])
+    loss_sp = (np.asarray(s_sp.arrays["eps_s"])[0]
+               - np.asarray(s_sp.arrays["eps_s"])[-1])
+    assert loss_sp.max() > 0
+    np.testing.assert_allclose(loss_sp.max(), loss_fdm.max(), rtol=0.1)
