@@ -47,8 +47,8 @@ class JacobianPlan:
             def solve(fac, b):
                 if not isinstance(fac, SparseSchur):
                     # f32 thermal fallback factorization (see
-                    # factor_compressed): pivoted dense LU
-                    return linsolve.equilibrated_solve(fac, b)
+                    # factor_compressed): pivoted dense LU + refinement
+                    return linsolve.refined_lu_solve(fac, b)
                 return sparse_schur_solve(fac, b, specs, split)
 
             self.factor = None  # compressed-only path
@@ -105,6 +105,12 @@ class JacobianPlan:
              * jnp.asarray(mask, dtype))
         last = _jax.grad(lambda ya: alg_res_fn(ya, y_diff)[-1])(y_alg)
         J = J.at[-1, :].set(last)
+        if (dtype == jnp.float32
+                and getattr(self.cfg.numerics, "temperature", False)):
+            # same conditioning story as factor_compressed: the algebraic
+            # block with a derivative-hold control row needs pivoting +
+            # refinement in f32 (equilibrated_inv_solve dispatches on type)
+            return linsolve.refined_lu_factor(J)
         return linsolve.equilibrated_inv_factor(J)
 
     def factor_compressed(self, g, y):
@@ -126,7 +132,7 @@ class JacobianPlan:
         if (y.dtype == jnp.float32
                 and getattr(self.cfg.numerics, "temperature", False)):
             from ..solver import linsolve
-            return linsolve.equilibrated_factor(self.colored(g, y))
+            return linsolve.refined_lu_factor(self.colored(g, y))
         JS, last = self.colored.compressed(g, y)
         return self._sparse_factor(JS, last, self.colored, self._specs,
                                    self.split)
