@@ -152,6 +152,16 @@ class SimOptions:
     max_order: int = 5
     max_save: int = 1024          # output ring buffer length per run
     newton_maxiter: int = 4      # per step attempt (IDA-style modified Newton)
+    # IDA-style Jacobian reuse: max accepted steps per Newton-matrix
+    # factorization (refactor sooner when the leading coefficient drifts
+    # outside cjratio [3/10, 10/3] — Sundials ida.c semantics; stale-matrix
+    # Newton damped by 2/(1+cjratio)). 0 = refactor every step attempt.
+    # Default 0: on the isothermal Schur fast path the factorization is
+    # only ~14% of a step attempt (measured, interleaved TPU A/B), and the
+    # stale-matrix step inflation (~24% more attempts) outweighs it. Worth
+    # enabling (4-8) where the factor is expensive — e.g. the f32 thermal
+    # pivoted-LU path.
+    jac_reuse: int = 0
     init_maxiter: int = 100       # consistent-initialization Newton iters
     dt0: Optional[float] = None   # initial step; None -> heuristic
     dtmax: Optional[float] = None

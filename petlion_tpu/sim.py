@@ -37,7 +37,8 @@ _BOUND_KEYS = ("V_max", "V_min", "SOC_max", "SOC_min", "T_max", "c_s_n_max",
 _OPT_KEYS = ("outputs", "abstol", "reltol", "abstol_init", "reltol_init",
              "maxiters", "check_bounds", "reinit", "verbose", "interp_final",
              "interp_bc", "max_order", "max_save", "newton_maxiter",
-             "init_maxiter", "dt0", "dtmax", "save_start", "stop_function")
+             "init_maxiter", "dt0", "dtmax", "save_start", "stop_function",
+             "jac_reuse")
 _METHOD_KEYS = ("I", "V", "P", "eta_p", "res", "dT",
                 "dc_s_p_max", "dc_s_p_min", "dc_s_n_max", "dc_s_n_min",
                 "dc_e_max", "dc_e_min", "T")

@@ -41,6 +41,13 @@ MIN_FACTOR = 0.2
 MAX_FACTOR = 10.0
 SAFETY = 0.9
 
+# Jacobian-reuse policy (IDA semantics: the Newton matrix is kept across
+# steps until the BDF leading coefficient drifts — cjratio outside
+# [3/10, 10/3] — or Newton degrades; stale-matrix Newton steps are damped
+# by con = 2/(1+cjratio)). Sundials ida.c uses exactly these constants.
+CJ_LO = 0.3
+CJ_HI = 10.0 / 3.0
+
 # status codes
 OK = 0
 UNRECOVERABLE = 2
@@ -166,6 +173,34 @@ def dense_eval(D, h, order, t_head, t):
     return y, yp / h
 
 
+def predict(state: BDFState, t_bound, hmin, hmax):
+    """Attempt prologue shared with the chunk-level factorization: clip h,
+    rescale D, and form the predictor and BDF leading coefficient."""
+    dtype = state.D.dtype
+    gam = _gammas(dtype)
+    k = state.order
+    ar = jnp.arange(_D_ROWS)
+    h = jnp.clip(state.h, hmin, hmax)
+    h = jnp.minimum(h, jnp.maximum(t_bound - state.t, hmin))
+    D = change_D(state.D, k, h / state.h)
+    t_new = state.t + h
+    y_pred = jnp.sum(jnp.where((ar <= k)[:, None], D, 0.0), axis=0)
+    gmask = ((ar >= 1) & (ar <= k))
+    S = jnp.sum(jnp.where(gmask[:, None], gam[ar][:, None] * D, 0.0), axis=0)
+    c0 = gam[k] / h
+    return h, D, t_new, y_pred, c0, S / h
+
+
+def cj_ok(st: BDFState, t_bound, c0_f, hmin=1e-10, hmax=np.inf):
+    """Is the next attempt's BDF leading coefficient within the stale-matrix
+    trust range of the factorization's (IDA cjratio ∈ [3/10, 10/3])?"""
+    dtype = st.D.dtype
+    h = jnp.clip(st.h, hmin, hmax)
+    h = jnp.minimum(h, jnp.maximum(t_bound - st.t, hmin))
+    rat = (_gammas(dtype)[st.order] / h) / c0_f
+    return (rat > CJ_LO) & (rat < CJ_HI)
+
+
 def make_stepper(F: Callable,
                  jac_and_factor: Callable,
                  linsolve: Callable,
@@ -174,23 +209,29 @@ def make_stepper(F: Callable,
                  hmin: float = 1e-10,
                  hmax: float = np.inf,
                  max_attempts: int = 100):
-    """Build `step(state, t_bound) -> state` advancing one *accepted* step.
+    """Build `step(state, t_bound, J_lu, c0_fac) -> (state, accepted)`.
 
     F(t, y, yp) -> residual (N,).
     jac_and_factor(t, y_pred, c0, psi_over_h) -> factorization object.
     linsolve(factorization, b) -> x solving (Fy + c0·Fyp) x = b.
-    """
+
+    `J_lu` is the Newton-matrix factorization made at leading coefficient
+    `c0_fac` (possibly several accepted steps old — the caller owns the
+    IDA-style reuse policy); stale-matrix Newton updates are damped by
+    con = 2/(1+c0/c0_fac) (Sundials ida.c `cjratio` correction). Pass
+    `J_lu=None` to recompute the factorization inside every attempt (the
+    pre-reuse behavior)."""
     newton_tol = max(10 * np.finfo(np.float64).eps / rtol,
                      min(0.03, rtol ** 0.5))
 
-    def _newton(t_new, y_pred, c0, psi_over_h, J_lu, scale):
+    def _newton(t_new, y_pred, c0, psi_over_h, J_lu, scale, con):
         def g(d):
             return F(t_new, y_pred + d, c0 * d + psi_over_h)
 
         def body(carry):
             it, d, dnorm_old, conv, div = carry
             r = g(d)
-            delta = linsolve(J_lu, -r)
+            delta = con * linsolve(J_lu, -r)
             d_new = d + delta
             dnorm = wrms(delta, scale)
             rate = dnorm / jnp.maximum(dnorm_old, 1e-300)
@@ -220,31 +261,23 @@ def make_stepper(F: Callable,
         it, d, _, conv, div = jax.lax.while_loop(cond, body, init)
         return conv & (~div), d
 
-    def attempt(state: BDFState, t_bound):
+    def attempt(state: BDFState, t_bound, J_lu, c0_f):
         dtype = state.D.dtype
-        gam = _gammas(dtype)
         errc = _error_const(dtype)
         k = state.order
         kf = k.astype(dtype)
         ar = jnp.arange(_D_ROWS)
 
-        # clip h to land exactly on t_bound
-        h = jnp.clip(state.h, hmin, hmax)
-        h = jnp.minimum(h, jnp.maximum(t_bound - state.t, hmin))
-        D = change_D(state.D, k, h / state.h)
-
-        t_new = state.t + h
-        y_pred = jnp.sum(jnp.where((ar <= k)[:, None], D, 0.0), axis=0)
-        gmask = ((ar >= 1) & (ar <= k))
-        S = jnp.sum(jnp.where(gmask[:, None], gam[ar][:, None] * D, 0.0),
-                    axis=0)
-        gk = gam[k]
-        c0 = gk / h
-        psi_over_h = S / h   # yp(d) = c0·d + psi_over_h
+        h, D, t_new, y_pred, c0, psi_over_h = predict(state, t_bound,
+                                                      hmin, hmax)
 
         scale = atol + rtol * jnp.abs(y_pred)
-        J_lu = jac_and_factor(t_new, y_pred, c0, psi_over_h)
-        conv, d = _newton(t_new, y_pred, c0, psi_over_h, J_lu, scale)
+        if J_lu is None:
+            J_lu = jac_and_factor(t_new, y_pred, c0, psi_over_h)
+            con = jnp.asarray(1.0, dtype)
+        else:
+            con = 2.0 / (1.0 + c0 / c0_f)
+        conv, d = _newton(t_new, y_pred, c0, psi_over_h, J_lu, scale, con)
 
         y = y_pred + d
         yp = c0 * d + psi_over_h
@@ -325,22 +358,45 @@ def make_stepper(F: Callable,
                              new_state.status))
         return new_state, accept
 
-    def step(state: BDFState, t_bound):
-        """Advance by one accepted step (internally retries failed attempts)."""
+    def cj_in_range(st: BDFState, t_bound, c0_f):
+        return cj_ok(st, t_bound, c0_f, hmin, hmax)
+
+    def step(state: BDFState, t_bound, J_lu=None, c0_f=None):
+        """Advance by one accepted step (internally retries failed attempts).
+
+        Returns (state, accepted). With a (J_lu, c0_f) factorization, the
+        retry loop also stops when a rejection shrinks h far enough that the
+        stale matrix is out of its cjratio trust range — then `accepted` is
+        False with status still OK, and the caller refactors and re-enters.
+        Without a factorization (J_lu=None) an un-accepted exit is terminal
+        (status=UNRECOVERABLE), as is running out of attempts."""
+        reuse = J_lu is not None
+
         def cond(carry):
             st, accepted, tries = carry
-            return (~accepted) & (st.status == OK) & (tries < max_attempts)
+            ok = (~accepted) & (st.status == OK) & (tries < max_attempts)
+            if reuse:
+                ok = ok & cj_in_range(st, t_bound, c0_f)
+            return ok
 
         def body(carry):
             st, _, tries = carry
-            st2, acc = attempt(st, t_bound)
+            st2, acc = attempt(st, t_bound, J_lu, c0_f)
             return st2, acc, tries + 1
 
-        st0, acc0 = attempt(state, t_bound)
+        st0, acc0 = attempt(state, t_bound, J_lu, c0_f)
         st, acc, _ = jax.lax.while_loop(
             cond, body, (st0, acc0, jnp.asarray(1, jnp.int32)))
-        st = st._replace(status=jnp.where(
-            acc, st.status, jnp.asarray(UNRECOVERABLE, jnp.int32)))
-        return st
+        if reuse:
+            # drift exit is recoverable (caller refactors); everything else
+            # that ends un-accepted is a genuine failure
+            genuine_fail = (~acc) & cj_in_range(st, t_bound, c0_f)
+            st = st._replace(status=jnp.where(
+                genuine_fail, jnp.asarray(UNRECOVERABLE, jnp.int32),
+                st.status))
+        else:
+            st = st._replace(status=jnp.where(
+                acc, st.status, jnp.asarray(UNRECOVERABLE, jnp.int32)))
+        return st, acc
 
     return step

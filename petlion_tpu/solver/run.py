@@ -72,15 +72,18 @@ def _vector_outputs(opts: SimOptions, cfg: ModelConfig):
 
 
 def _record(bufs, idx, t, y, yp, soc, th, cfg: ModelConfig, vec_outs):
+    # mode="drop": a deliberately out-of-bounds idx makes the write a no-op —
+    # the chunked runner uses that to skip recording on trips that ended in
+    # a refactor-needed drift exit instead of an accepted step
     L = cfg.layout
     V = L.V(y)
     I = L.I(y)
     upd = dict(bufs)
-    upd["t"] = bufs["t"].at[idx].set(t)
-    upd["V"] = bufs["V"].at[idx].set(V)
-    upd["I"] = bufs["I"].at[idx].set(I)
-    upd["P"] = bufs["P"].at[idx].set(I * calc_I1C(th) * V)
-    upd["SOC"] = bufs["SOC"].at[idx].set(soc)
+    upd["t"] = bufs["t"].at[idx].set(t, mode="drop")
+    upd["V"] = bufs["V"].at[idx].set(V, mode="drop")
+    upd["I"] = bufs["I"].at[idx].set(I, mode="drop")
+    upd["P"] = bufs["P"].at[idx].set(I * calc_I1C(th) * V, mode="drop")
+    upd["SOC"] = bufs["SOC"].at[idx].set(soc, mode="drop")
     # external convention: recorded states carry absolute T [K]; the solver
     # state carries T − T_amb (residuals.build_auxiliary). YP is a rate,
     # identical in both. Y_final (continuation carry) stays internal.
@@ -94,7 +97,7 @@ def _record(bufs, idx, t, y, yp, soc, th, cfg: ModelConfig, vec_outs):
             val = L.get(y, name) + th["T_amb"]
         else:
             val = L.get(y, name)
-        upd[name] = bufs[name].at[idx].set(val)
+        upd[name] = bufs[name].at[idx].set(val, mode="drop")
     return upd
 
 
@@ -232,22 +235,31 @@ def run_once(*,
     else:
         tstops_arr = None
 
-    def body(rs: RunnerState):
+    def t_bound_of(st):
+        if tstops_arr is not None:
+            nxt = jnp.min(jnp.where(tstops_arr > st.t + 1e-9, tstops_arr,
+                                    jnp.inf))
+            return jnp.minimum(tf, nxt)
+        return tf
+
+    def trip(rs: RunnerState, J_lu, c0_f):
+        """One accepted-step attempt bundle + bookkeeping.
+
+        Returns (new_rs, keep_going): `keep_going` False ends the current
+        reuse chunk (drift exit, failure, or post-discontinuity re-init).
+        On a drift exit the solver state keeps its shrunk h / rejection
+        counts but nothing is recorded and no events fire."""
         y_prev = rs.bdf.D[0]
         yp_prev = rs.bdf.yp
         t_prev = rs.bdf.t
         soc_prev = rs.soc
 
-        if tstops_arr is not None:
-            nxt = jnp.min(jnp.where(tstops_arr > rs.bdf.t + 1e-9, tstops_arr,
-                                    jnp.inf))
-            t_bound = jnp.minimum(tf, nxt)
-        else:
-            t_bound = tf
-        st = step(rs.bdf, t_bound)
+        t_bound = t_bound_of(rs.bdf)
+        st, acc = step(rs.bdf, t_bound, J_lu, c0_f)
         y = st.D[0]
         yp = st.yp
         t = st.t
+        keep = acc
 
         # discontinuity handling for function inputs (checks.jl:341-364 +
         # IDAReInit): probe the control at t + reltol; on a jump, re-run the
@@ -258,8 +270,8 @@ def run_once(*,
             v_now = spec.func(t, y, yp, th)
             t_jump = t + opts.reltol
             v_probe = spec.func(t_jump, y, yp, th)
-            jumped = jnp.abs(v_probe - v_now) > (opts.abstol
-                                                 + opts.reltol * jnp.abs(v_now))
+            jumped = acc & (jnp.abs(v_probe - v_now)
+                            > (opts.abstol + opts.reltol * jnp.abs(v_now)))
 
             def rescue(st):
                 init2 = consistent_init(
@@ -282,26 +294,73 @@ def run_once(*,
             y = st.D[0]
             yp = st.yp
             t = st.t
+            keep = keep & ~jumped   # re-init invalidates the factorization
 
         # trapezoidal SOC update (scalar_residual.jl:103-111)
-        soc = rs.soc + 0.5 * (t - t_prev) * (L.I(y) + L.I(y_prev)) / 3600.0
+        soc = jnp.where(
+            acc,
+            rs.soc + 0.5 * (t - t_prev) * (L.I(y) + L.I(y_prev)) / 3600.0,
+            rs.soc)
 
         # ring-clamp: if the save buffer fills, keep integrating and
-        # overwrite the last slot (solver progress is not IO-bound)
-        rec_idx = jnp.minimum(rs.save_idx, opts.max_save - 1)
+        # overwrite the last slot (solver progress is not IO-bound);
+        # un-accepted trips record nothing (out-of-bounds idx → dropped)
+        rec_idx = jnp.where(acc,
+                            jnp.minimum(rs.save_idx, opts.max_save - 1),
+                            jnp.asarray(opts.max_save, jnp.int32))
         bufs = _record(rs.bufs, rec_idx, t, y, yp, soc, th, cfg, vec_outs)
         prev, flag = events.check_stop(
             t, y, yp, soc, rs.prev, rs.flag, bounds, th, cfg, spec.method,
             reltol=opts.reltol, tf=tf, check_bounds=opts.check_bounds,
             is_rest=is_rest, is_temperature_hold=is_temperature_hold,
             stop_fn=opts.stop_function)
+        prev = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(acc, a, b), prev, rs.prev)
+        flag = jnp.where(acc, flag, rs.flag)
         flag = jnp.where(st.status != bdf.OK, EXIT_FAILED, flag)
 
-        return RunnerState(
+        new_rs = RunnerState(
             bdf=st, soc=soc, prev=prev, flag=flag,
-            save_idx=rs.save_idx + 1, bufs=bufs,
-            y_prev=y_prev, yp_prev=yp_prev, t_prev=t_prev,
-            soc_prev=soc_prev)
+            save_idx=rs.save_idx + acc.astype(jnp.int32), bufs=bufs,
+            y_prev=jnp.where(acc, y_prev, rs.y_prev),
+            yp_prev=jnp.where(acc, yp_prev, rs.yp_prev),
+            t_prev=jnp.where(acc, t_prev, rs.t_prev),
+            soc_prev=jnp.where(acc, soc_prev, rs.soc_prev))
+        return new_rs, keep
+
+    K_REUSE = int(getattr(opts, "jac_reuse", 0))
+
+    if K_REUSE == 0:
+        # legacy: a fresh factorization inside every step attempt
+        def body(rs: RunnerState):
+            return trip(rs, None, None)[0]
+    else:
+        # IDA-style reuse: factor once per chunk, take up to K_REUSE
+        # accepted steps with it (stale-matrix Newton damped by cjratio),
+        # refactor when the leading coefficient drifts / Newton degrades /
+        # a discontinuity re-init fires. Under vmap the while_loop batching
+        # rule freezes per-cell carries whose cond is False, so cells drift
+        # out of a chunk independently at no extra cost.
+        def body(rs: RunnerState):
+            _, _, t_new, y_pred, c0_f, psi_over_h = bdf.predict(
+                rs.bdf, t_bound_of(rs.bdf), 1e-10, hmax)
+            J_lu = jac_and_factor(t_new, y_pred, c0_f, psi_over_h)
+
+            def icond(carry):
+                rs_, j, keep = carry
+                return (keep & (j < K_REUSE) & cond(rs_)
+                        & bdf.cj_ok(rs_.bdf, t_bound_of(rs_.bdf), c0_f,
+                                    hmax=hmax))
+
+            def ibody(carry):
+                rs_, j, _ = carry
+                rs2, keep2 = trip(rs_, J_lu, c0_f)
+                return rs2, j + 1, keep2
+
+            rs1, keep1 = trip(rs, J_lu, c0_f)
+            rs2, _, _ = jax.lax.while_loop(
+                icond, ibody, (rs1, jnp.asarray(1, jnp.int32), keep1))
+            return rs2
 
     rs = jax.lax.while_loop(cond, body, rs0)
 

@@ -21,7 +21,7 @@ def _solve(F, t0, y0, yp0, tf, atol=1e-8, rtol=1e-8, max_steps=5000):
         def cond(st):
             return (st.t < tf) & (st.status == bdf.OK) & (st.n_steps < max_steps)
 
-        return jax.lax.while_loop(cond, lambda st: step(st, tf), state)
+        return jax.lax.while_loop(cond, lambda st: step(st, tf)[0], state)
 
     return run(state)
 

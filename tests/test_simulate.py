@@ -39,6 +39,19 @@ def test_1c_discharge_golden(p_iso):
     assert sol.V[0] > 4.0 and sol.V[-1] < 3.0
 
 
+@pytest.mark.fast
+def test_1c_discharge_jac_reuse(p_iso):
+    """IDA-style Jacobian reuse (jac_reuse=6: factor once per chunk, stale-
+    matrix Newton damped by cjratio) must reproduce the golden within
+    integration tolerance. Default is 0 (refactor each attempt) — measured
+    faster on TPU where the Schur factorization is MXU-cheap — but the
+    reuse path must stay correct for the configs where it wins."""
+    sol = pt.simulate(p_iso, I=-1, SOC=1, fast_solver=True, jac_reuse=6)
+    assert sol.final_exit_reason() == "Below min. SOC"
+    assert abs(sol.t[-1] - 3600.0) < 1.0
+    assert abs(sol.V[-1] - 2.9357) / 2.9357 < 0.01
+
+
 def test_cc_ct_cv_protocol_golden(p_therm):
     """README.md:20-36 — the flagship correctness trace."""
     sol = pt.simulate(p_therm, I=4, SOC=0, V_max=4.1, T_max=40 + 273.15,
