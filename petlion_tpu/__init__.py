@@ -55,3 +55,19 @@ __all__ = [
     "thermodynamic_factor_linear", "kinetics", "ocv", "transport",
     "estimation",
 ]
+
+# Reference-name compatibility aliases, so PETLION.jl users find the exact
+# exported names (PETLION.jl:29-47; the reference similarly keeps deprecated
+# aliases alive, PETLION.jl:65-80). The canonical names above are preferred.
+boundary_stop_conditions = Bounds        # structures.jl:174-251
+options_simulation = SimOptions          # structures.jl:266-291
+discretizations_per_section = Discretizations  # params.jl mesh N
+options_numerical = Numerics             # outputs.jl:13-32
+rxn_BV_gamma_mod = rxn_BV_gamma_mod_01   # custom_functions.jl:300-321
+solution = Solution                      # outputs.jl solution()
+
+__all__ += [
+    "boundary_stop_conditions", "options_simulation",
+    "discretizations_per_section", "options_numerical",
+    "rxn_BV_gamma_mod", "solution",
+]
