@@ -136,6 +136,12 @@ class SimOptions:
     reltol: float = 1e-3
     abstol_init: Optional[float] = None
     reltol_init: Optional[float] = None
+    # separate absolute tolerance for the temperature block (None → abstol).
+    # IDA supports per-component atol vectors (IDASVtolerances); the
+    # reference uses a scalar, but T [K] lives on a ~mK-cK accuracy scale
+    # while concentrations need ~1e-4 relative — one scalar can't serve both
+    # in f32. Used by the f32 thermal configs (e.g. abstol_T=1e-2).
+    abstol_T: Optional[float] = None
     maxiters: int = 10_000
     check_bounds: bool = True
     reinit: bool = True

@@ -34,7 +34,8 @@ from .solver.run import run_once
 
 _BOUND_KEYS = ("V_max", "V_min", "SOC_max", "SOC_min", "T_max", "c_s_n_max",
                "I_max", "I_min", "eta_plating_min", "c_e_min", "dfilm_max")
-_OPT_KEYS = ("outputs", "abstol", "reltol", "abstol_init", "reltol_init",
+_OPT_KEYS = ("outputs", "abstol", "abstol_T", "reltol", "abstol_init",
+             "reltol_init",
              "maxiters", "check_bounds", "reinit", "verbose", "interp_final",
              "interp_bc", "max_order", "max_save", "newton_maxiter",
              "init_maxiter", "dt0", "dtmax", "save_start", "stop_function",

@@ -133,6 +133,12 @@ def _use_pallas_gj(J) -> bool:
     try:
         if jax.default_backend() != "tpu":
             return False
+        # a `with jax.default_device(cpu)` context overrides the backend
+        # without changing default_backend() — honor it (mixed-device
+        # processes: CPU oracle runs alongside the TPU session)
+        dd = jax.config.jax_default_device
+        if dd is not None and getattr(dd, "platform", "tpu") != "tpu":
+            return False
         from ..ops.pallas_gj import gj_inverse_hot
         return gj_inverse_hot is not None
     except Exception:  # pragma: no cover

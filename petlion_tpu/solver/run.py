@@ -181,8 +181,16 @@ def run_once(*,
     y0, yp0 = init.y, init.yp
 
     # ---- integrator setup ---------------------------------------------------
+    # per-component absolute tolerance (IDASVtolerances analogue): a scalar
+    # atol cannot serve both concentrations (~1e4 mol/m³) and temperature
+    # (~K offsets) in f32 — opts.abstol_T relaxes the T block only
+    if opts.abstol_T is not None and cfg.numerics.temperature:
+        atol = jnp.full((L.N_tot,), opts.abstol, dtype)
+        atol = atol.at[L.sl("T")].set(jnp.asarray(opts.abstol_T, dtype))
+    else:
+        atol = opts.abstol
     h0 = (opts.dt0 if opts.dt0 is not None
-          else bdf.initial_step_size(y0, yp0, opts.abstol, opts.reltol, tf))
+          else bdf.initial_step_size(y0, yp0, atol, opts.reltol, tf))
     state0 = bdf.bdf_init(0.0, y0, yp0, h0)
 
     def jac_and_factor(t, y_pred, c0, psi_over_h):
@@ -197,7 +205,7 @@ def run_once(*,
 
     hmax = opts.dtmax if opts.dtmax is not None else float("inf")
     step = bdf.make_stepper(F, jac_and_factor, solve,
-                            opts.abstol, opts.reltol,
+                            atol, opts.reltol,
                             newton_maxiter=opts.newton_maxiter, hmax=hmax)
 
     vec_outs = _vector_outputs(opts, cfg)
@@ -279,7 +287,7 @@ def run_once(*,
                     maxiter=opts.init_maxiter, t0=t_jump, jac_plan=jac_plan)
                 # fresh-start step-size heuristic at the post-jump state
                 # (the reference relies on IDASetInitStep after IDAReInit)
-                h_new = bdf.initial_step_size(init2.y, init2.yp, opts.abstol,
+                h_new = bdf.initial_step_size(init2.y, init2.yp, atol,
                                               opts.reltol,
                                               jnp.maximum(tf - t_jump, 1.0))
                 D_new = jnp.zeros_like(st.D)

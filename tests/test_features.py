@@ -119,3 +119,21 @@ def test_check_errors_initial_thermal():
 
     with pytest.raises(ValueError, match="R_SEI"):
         pt.petlion(chem_no_sei)
+
+
+def test_abstol_T_vector_tolerance():
+    """Per-component absolute tolerance for the temperature block
+    (IDASVtolerances analogue; the reference only has a scalar atol).
+    The thermal CC segment must run and agree with the scalar-atol
+    trajectory — T needs only ~cK accuracy, so relaxing its atol cannot
+    move the solution outside integration tolerance."""
+    pth = pt.petlion(pt.LCO, temperature=True)
+    s1 = pt.simulate(pth, 300.0, I=4, SOC=0, outputs=("t", "V", "T"))
+    s2 = pt.simulate(pth, 300.0, I=4, SOC=0, outputs=("t", "V", "T"),
+                     abstol_T=1e-2)
+    assert s2.final_exit_reason() == "Final time reached"
+    # a relaxed T atol changes the adaptive-step sequence, so trajectories
+    # agree to integration tolerance (reltol 1e-3), not bit-exactly
+    np.testing.assert_allclose(s2.V[-1], s1.V[-1], rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(s2.arrays["T"])[-1],
+                               np.asarray(s1.arrays["T"])[-1], atol=0.05)
