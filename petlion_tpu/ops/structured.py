@@ -328,18 +328,6 @@ def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
     return SparseSchur(groups=tuple(per_group), core_inv=core_inv)
 
 
-def colored_matvec(JS, last_row, colored, x):
-    """J·x from the compressed colored sweeps: J[i,j] = JS[color[j], i] on
-    the pattern (exact control row from `last_row`). One (n × n_colors)
-    contraction — negligible next to a factorization."""
-    seeds = jnp.asarray(colored._seeds, x.dtype)          # (n_colors, n)
-    pattern = jnp.asarray(colored._mask_body, x.dtype)    # (n, n)
-    # W[i, c] = Σ_{j: color[j]=c} pattern[i, j] · x[j]
-    W = jnp.matmul(pattern * x[None, :], seeds.T, precision="highest")
-    Jx = jnp.einsum("ci,ic->i", JS, W, precision="highest")
-    return Jx.at[-1].set(jnp.dot(last_row, x, precision="highest"))
-
-
 def sparse_schur_solve(fac: SparseSchur, b, specs, split: GroupSplit):
     cspecs, _ = specs
     i2 = split.i_core
