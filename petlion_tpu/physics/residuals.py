@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -194,8 +195,17 @@ def _spectral_rhs(c_s, j, Rp, D_s, n_el: int, n_r: int):
     xj = jnp.asarray(x, c_s.dtype)
 
     C = c_s.reshape(n_el, n_r)
-    # ∂ᵣc on the cheb grid of reversed concentrations
-    dcr = jnp.matmul(C[:, ::-1], Dm.T, precision="highest")
+    # ∂ᵣc on the cheb grid of reversed concentrations. Mean-shift as in
+    # `_fickian_rhs`: `cheb_matrix` builds D with exactly-zero row sums
+    # (D -= diag(D.sum())), so subtracting a per-particle reference is
+    # exact and removes the ~5e4-scale cancellation noise in f32
+    # optimization_barrier: the plain fused subtract trips an XLA-TPU
+    # memory-assignment CHECK crash in the batched while_loop program
+    # (remote tpu_compile_helper SIGABRT); the barrier keeps the
+    # shifted operand out of the offending fusion
+    Cv = C - jax.lax.optimization_barrier(
+        jnp.mean(C, axis=1, keepdims=True))
+    dcr = jnp.matmul(Cv[:, ::-1], Dm.T, precision="highest")
     dcr = dcr.at[:, 0].set(-j * Rp * 0.5 / D_s)   # surface BC (cheb scheme)
     dcr = dcr.at[:, -1].set(0.0)                  # center: no flux
     inner = jnp.matmul(4.0 * D_s[:, None] * ((xj + 1.0) ** 2)[None, :] * dcr
@@ -430,12 +440,25 @@ def _fickian_rhs(c_s, j, Rp, D_s, n_el: int, n_r: int):
 
     C = c_s.reshape(n_el, n_r)
     # precision=highest: TPU f32 matmuls default to bf16 multiplies, which
-    # is catastrophic for FD stencils on ~5e4-magnitude concentrations
-    d1 = jnp.matmul(C, M1.T, precision="highest") * coef1
+    # is catastrophic for FD stencils on ~5e4-magnitude concentrations.
+    # Mean-shift: the stencil rows are integer-valued (exact in f32) and sum
+    # to zero, so subtracting a per-particle reference concentration changes
+    # NOTHING in exact arithmetic but shrinks the matmul intermediates from
+    # the ~5e4 absolute-concentration scale to the intra-particle variation
+    # scale — ~100x less cancellation noise in the f32 radial rhs (the noise
+    # was amplified by 1/c0 through the near-singular Neumann operator at
+    # large step sizes, inflating the f32 LTE estimate and rejections).
+    # optimization_barrier: the plain fused subtract trips an XLA-TPU
+    # memory-assignment CHECK crash in the batched while_loop program
+    # (remote tpu_compile_helper SIGABRT); the barrier keeps the
+    # shifted operand out of the offending fusion
+    Cv = C - jax.lax.optimization_barrier(
+        jnp.mean(C, axis=1, keepdims=True))
+    d1 = jnp.matmul(Cv, M1.T, precision="highest") * coef1
     # BCs on the first derivative (residuals.jl:150-156)
     d1 = d1.at[:, -1].set(-j / D_s * Rp)
     d1 = d1.at[:, 0].set(0.0)
-    d2 = jnp.matmul(C, M2.T, precision="highest") * coef2
+    d2 = jnp.matmul(Cv, M2.T, precision="highest") * coef2
     # Neumann correction at r=1 (residuals.jl:162)
     d2 = d2.at[:, -1].add(50.0 * dr * d1[:, -1] * coef2)
 
