@@ -3,7 +3,7 @@
 (1) LCO isothermal 1C CC discharge (301 DAEs), batched
 (2) LCO CC-CV charge with per-cell V-hold switching (in-jit protocol)
 (3) LCO thermal CC-CT-CV fast charge with T_max hold (golden trace, f32)
-(4) LCO with SEI aging, cycling with state carry-over
+(4) NMC with SEI aging, cycling with state carry-over
 (5) 10k-cell GITT-style parameter sweep (chunked batches)
 
 Measurement hygiene (the remote-TPU tunnel memoizes identical
@@ -152,13 +152,14 @@ def main():
          ref_t_sim=1865.61, ref_I_final=0.1959,
          within_1pct=bool(abs(float(sol.t[-1]) - 1865.61) / 1865.61 < 0.01))
 
-    # ---- (4) SEI aging, cycling with carry-over ---------------------------
-    page = pt.petlion(pt.LCO, aging="SEI")
+    # ---- (4) NMC + SEI aging, cycling with carry-over ---------------------
+    # BASELINE.md row 4: "NMC with SEI aging, repeated cycling"
+    page = pt.petlion(pt.NMC, aging="SEI")
 
     def run4():
         s = pt.simulate(page, I=1, SOC=0.3, SOC_max=0.9, V_max=4.25,
                         outputs=("t", "V", "SOH"), **f32tol)
-        for _ in range(2):
+        for _ in range(3):
             s = pt.simulate_cont(s, page, I=-1, SOC_min=0.3, V_min=2.8)
             s = pt.simulate_cont(s, page, I=1, SOC_max=0.9, V_max=4.25)
         return s
@@ -168,8 +169,10 @@ def main():
     sol = run4()
     wall = time.time() - t0
     soh = np.asarray(sol.arrays["SOH"])
-    emit("4_sei_cycling", cycles=2.5, soh_final=round(float(soh[-1]), 6),
+    emit("4_sei_cycling", chemistry="NMC", cycles=3.5,
+         soh_final=round(float(soh[-1]), 6),
          soh_monotone=bool(np.all(np.diff(soh[:, 0]) <= 1e-12)),
+         exits=sol.exit_reasons(),
          wall_s=round(wall, 2))
 
     with open("BENCH_SUITE.json", "w") as f:

@@ -28,8 +28,9 @@ from .physics.transport import (D_s_eff, D_s_eff_isothermal, rxn_rate,
                                 thermodynamic_factor,
                                 thermodynamic_factor_linear)
 from .physics.residuals import ModelConfig, calc_I1C, residual_core
-from .sim import Model, petlion, simulate, simulate_cont, default_dtype
-from .solution import Solution, RunResult
+from .sim import (Model, petlion, simulate, simulate_cont, default_dtype,
+                  calc_OCV, calc_R_internal)
+from .solution import Solution, RunResult, reset_t
 from . import estimation
 
 
@@ -53,7 +54,7 @@ __all__ = [
     "rxn_rate_isothermal", "D_eff", "D_eff_linear", "D_eff_linear_one_term",
     "K_eff", "K_eff_isothermal", "thermodynamic_factor",
     "thermodynamic_factor_linear", "kinetics", "ocv", "transport",
-    "estimation",
+    "estimation", "reset_t", "calc_OCV", "calc_R_internal",
 ]
 
 # Reference-name compatibility aliases, so PETLION.jl users find the exact
@@ -66,8 +67,19 @@ options_numerical = Numerics             # outputs.jl:13-32
 rxn_BV_gamma_mod = rxn_BV_gamma_mod_01   # custom_functions.jl:300-321
 solution = Solution                      # outputs.jl solution()
 
+# Deprecated-name shims, matching the reference's own backwards-compatibility
+# aliases (PETLION.jl:65-80). `run_model!`/`simulate!` are not legal Python
+# identifiers; their in-place semantics map to `simulate_cont` /
+# `run_model_cont`.
+Params = petlion                         # PETLION.jl:66
+run_model = simulate                     # PETLION.jl:67
+run_model_cont = simulate_cont           # PETLION.jl:68 (run_model!)
+options_model = SimOptions               # PETLION.jl:69
+model_output = Solution                  # PETLION.jl:70
+
 __all__ += [
     "boundary_stop_conditions", "options_simulation",
     "discretizations_per_section", "options_numerical",
     "rxn_BV_gamma_mod", "solution",
+    "Params", "run_model", "run_model_cont", "options_model", "model_output",
 ]

@@ -55,7 +55,7 @@ class Numerics:
     temperature: bool = False
     solid_diffusion: str = "Fickian"      # "Fickian" | "quadratic" | "polynomial"
     Fickian_method: str = "finite_difference"  # | "spectral"
-    aging: Optional[str] = None           # None | "SEI"
+    aging: Optional[str] = None           # None | "SEI" | "stress"
     cathode: str = "LCO"
     anode: str = "LiC6"
     # swappable physics closures (static):

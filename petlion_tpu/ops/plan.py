@@ -152,13 +152,17 @@ def get_plan(cfg: ModelConfig, theta: dict, use_schur: bool = True,
         return _PLAN_CACHE[key]
 
     cpu = jax.local_devices(backend="cpu")[0]
+    # sample in the active precision: requesting f64 with x64 disabled would
+    # silently truncate AND spray dtype warnings into every f32 bench log —
+    # pattern detection only needs structural nonzeros, so f32 is sufficient
+    f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     with jax.default_device(cpu):
-        th = {k: jnp.asarray(float(v), jnp.float64) for k, v in theta.items()}
+        th = {k: jnp.asarray(float(v), f64) for k, v in theta.items()}
         L = cfg.layout
         rng = np.random.default_rng(7)
 
         def sample(soc, i_val, seed):
-            y = np.asarray(initial_guess(soc, th, cfg, jnp.float64)).copy()
+            y = np.asarray(initial_guess(soc, th, cfg, f64)).copy()
             r = np.random.default_rng(seed)
             y *= (1.0 + 0.05 * r.standard_normal(y.shape))
             # keep strictly positive concentrations, generic potentials

@@ -22,11 +22,30 @@ is NOT set here; `solver.control` fills it. `residual_core` leaves it 0.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B toggle for the radial-stencil mean-shift (benchmark regression
+# analysis; on by default — the shift is mathematically exact and required
+# for f32 accuracy, see _fickian_rhs)
+_MEAN_SHIFT = os.environ.get("PETLION_MEANSHIFT", "1") != "0"
+
+
+def _shift_particle_mean(C):
+    """Subtract the per-particle mean concentration before the radial
+    derivative matmuls (exact: both operators annihilate constants).
+    optimization_barrier: the plainly-fused subtract trips an XLA-TPU
+    memory-assignment CHECK crash in the batched while_loop program (remote
+    tpu_compile_helper SIGABRT); the barrier keeps the shifted operand out
+    of the offending fusion."""
+    if not _MEAN_SHIFT:
+        return C
+    return C - jax.lax.optimization_barrier(
+        jnp.mean(C, axis=1, keepdims=True))
 
 from ..constants import FARADAY as F, IDEAL_GAS as R
 from ..config import Discretizations, Numerics
@@ -199,12 +218,7 @@ def _spectral_rhs(c_s, j, Rp, D_s, n_el: int, n_r: int):
     # `_fickian_rhs`: `cheb_matrix` builds D with exactly-zero row sums
     # (D -= diag(D.sum())), so subtracting a per-particle reference is
     # exact and removes the ~5e4-scale cancellation noise in f32
-    # optimization_barrier: the plain fused subtract trips an XLA-TPU
-    # memory-assignment CHECK crash in the batched while_loop program
-    # (remote tpu_compile_helper SIGABRT); the barrier keeps the
-    # shifted operand out of the offending fusion
-    Cv = C - jax.lax.optimization_barrier(
-        jnp.mean(C, axis=1, keepdims=True))
+    Cv = _shift_particle_mean(C)
     dcr = jnp.matmul(Cv[:, ::-1], Dm.T, precision="highest")
     dcr = dcr.at[:, 0].set(-j * Rp * 0.5 / D_s)   # surface BC (cheb scheme)
     dcr = dcr.at[:, -1].set(0.0)                  # center: no flux
@@ -448,12 +462,7 @@ def _fickian_rhs(c_s, j, Rp, D_s, n_el: int, n_r: int):
     # scale — ~100x less cancellation noise in the f32 radial rhs (the noise
     # was amplified by 1/c0 through the near-singular Neumann operator at
     # large step sizes, inflating the f32 LTE estimate and rejections).
-    # optimization_barrier: the plain fused subtract trips an XLA-TPU
-    # memory-assignment CHECK crash in the batched while_loop program
-    # (remote tpu_compile_helper SIGABRT); the barrier keeps the
-    # shifted operand out of the offending fusion
-    Cv = C - jax.lax.optimization_barrier(
-        jnp.mean(C, axis=1, keepdims=True))
+    Cv = _shift_particle_mean(C)
     d1 = jnp.matmul(Cv, M1.T, precision="highest") * coef1
     # BCs on the first derivative (residuals.jl:150-156)
     d1 = d1.at[:, -1].set(-j / D_s * Rp)

@@ -259,25 +259,33 @@ def _build_control(p: Model, sol: Optional[Solution], kwargs):
             spec = ctrl.ControlSpec("res", dT_meas)
             value = 0.0 if inp == "hold" else float(inp)
     elif name.startswith("dc_"):
-        # derivative-hold on the extremal node (input_methods.jl:195-247)
-        y_last = np.asarray(last_Y())
+        # derivative-hold on the extremal node (input_methods.jl:195-247).
+        # The node is selected ON DEVICE from the run's starting state (=
+        # the previous run's final state when chaining — the same node the
+        # reference's host-side argmax over the last solution picks, but per
+        # cell, so batched cells hold different nodes; fresh runs are also
+        # allowed, starting from the uniform initial guess).
         if name.startswith("dc_s"):
             electrode = name[5]
             if electrode == "n" and p.cfg.half_cell:
                 raise ValueError(
                     "dc_s_n_* controls are meaningless for a half-cell "
                     "(the lithium foil has no solid concentration states)")
-            idx_all = p.cfg.layout.c_s_surface_slice(electrode)
+            idx_all = np.asarray(p.cfg.layout.c_s_surface_slice(electrode))
         else:
             s = p.cfg.layout.sl("c_e")
             idx_all = np.arange(s.start, s.stop)
-        pick = np.argmax if name.endswith("max") else np.argmin
-        idx = int(idx_all[pick(y_last[idx_all])])
+        take_max = name.endswith("max")
 
-        def deriv(t, y, yp, th, idx=idx):
-            return yp[idx]
+        def init_aux(y0, th, idx_all=idx_all, take_max=take_max):
+            vals = y0[..., idx_all]
+            pos = jnp.argmax(vals) if take_max else jnp.argmin(vals)
+            return jnp.asarray(idx_all)[pos]
 
-        spec = ctrl.ControlSpec("res", deriv)
+        def deriv(t, y, yp, th):
+            return yp[th["_ctrl_aux"]]
+
+        spec = ctrl.ControlSpec("res", deriv, init_aux=init_aux)
         value = 0.0 if (isinstance(inp, str) and inp == "hold") else float(inp)
     elif name == "res":
         if isinstance(inp, tuple):
@@ -426,6 +434,7 @@ def simulate(p: Model,
         n_steps=int(res.n_steps),
         n_rejected=int(res.n_rejected),
         init_converged=bool(res.init_converged),
+        truncated=bool(res.truncated),
     )
     out = sol if continuing else Solution()
     # Y_final is public (reference-interchangeable): absolute T [K]; the
@@ -446,6 +455,12 @@ def simulate(p: Model,
         warnings.warn(f"solver failure in run {name} "
                       f"(init_converged={meta['init_converged']}, "
                       f"steps={meta['n_steps']})")
+    if meta["truncated"]:
+        import warnings
+        warnings.warn(
+            f"run {name} accepted {meta['n_steps']} steps but max_save="
+            f"{opts.max_save} output slots: the recorded tail was "
+            f"overwritten (raise max_save= to keep the full trajectory)")
     if t_grid is not None:
         return out(t_grid, interp_bc=opts.interp_bc)
     return out
@@ -454,3 +469,44 @@ def simulate(p: Model,
 def simulate_cont(sol: Solution, p: Model, tf=None, **kwargs) -> Solution:
     """`simulate!` equivalent: continue `sol` in place."""
     return simulate(p, tf, sol=sol, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# state-vector accessors (reference calc_* family, scalar_residual.jl:74-165)
+# ---------------------------------------------------------------------------
+
+def calc_OCV(y, p: Model):
+    """Per-CV open-circuit voltages (U_p, U_n) at the particle-surface
+    stoichiometries of state `y` (reference calc_OCV,
+    scalar_residual.jl:116-141). `y` uses the external convention
+    (absolute T [K], like Solution.Y_final). Half-cell: U_n is the lithium
+    foil's 0 V vs Li/Li⁺."""
+    L, num = p.cfg.layout, p.numerics
+    y = jnp.asarray(y)
+    th = p._theta_dev(y.dtype)
+    if num.temperature:
+        T_p = L.get(y, "T", "p")
+        T_n = L.get(y, "T", "n")
+    else:
+        T_p = jnp.full((p.N.p,), th["T0"], y.dtype)
+        T_n = jnp.full((0 if p.cfg.half_cell else p.N.n,), th["T0"], y.dtype)
+    U_p, _ = num.OCV_p(L.c_s_surf(y, "p") / th["c_max_p"], T_p, th)
+    if p.cfg.half_cell:
+        U_n = jnp.zeros((1,), y.dtype)
+    else:
+        U_n, _ = num.OCV_n(L.c_s_surf(y, "n") / th["c_max_n"], T_n, th)
+    return U_p, U_n
+
+
+def calc_R_internal(y, p: Model):
+    """Apparent internal resistance |(V − OCV)/I| [Ω·m²] of state `y`
+    (reference calc_R_internal, scalar_residual.jl:143-153): OCV taken
+    across the current-collector-facing surfaces, I in A/m²."""
+    L = p.cfg.layout
+    y = jnp.asarray(y)
+    th = p._theta_dev(y.dtype)
+    I = L.I(y) * calc_I1C(th)
+    V = L.V(y)
+    U_p, U_n = calc_OCV(y, p)
+    ocv = U_p[0] - U_n[-1]
+    return jnp.abs((V - ocv) / I)

@@ -57,6 +57,22 @@ class RunResult:
     n_rejected: int
     run_index: slice          # rows of the solution arrays for this run
     init_converged: bool = True
+    # the output ring buffer (opts.max_save) overflowed during this run:
+    # intermediate accepted points were overwritten and the recorded arrays
+    # miss part of the trajectory tail (raise max_save to keep everything)
+    truncated: bool = False
+
+
+def reset_t(sol: "Solution") -> "Solution":
+    """Shift the saved time axis so it starts at 0 (reference `reset_t!`,
+    save_outputs.jl:57-58). In-place, returns the solution."""
+    if "t" in sol.arrays and len(sol.arrays["t"]):
+        t0 = sol.arrays["t"][0]
+        sol.arrays["t"] = sol.arrays["t"] - t0
+        for i, r in enumerate(sol.results):
+            sol.results[i] = dataclasses.replace(
+                r, tspan=(r.tspan[0] - t0, r.tspan[1] - t0))
+    return sol
 
 
 @dataclasses.dataclass
@@ -137,9 +153,14 @@ class Solution:
     def __call__(self, t_query, interp_bc: str = "interpolate"):
         """Re-interpolate saved outputs onto arbitrary times.
 
-        Cubic-Hermite when YP was saved (we know derivatives), else cubic
-        spline via the native runtime when available, falling back to
-        numpy linear interpolation per run segment.
+        The Y array uses cubic-Hermite when YP was also saved (the solver's
+        exact derivatives — locally 4th-order with no boundary-condition
+        ambiguity); everything else uses a natural cubic spline (via the
+        native C++ runtime when built, numpy otherwise). Note the reference
+        uses Dierckx smoothing splines (save_outputs.jl:113-128) whose
+        end-interval boundary condition differs slightly from the natural
+        spline's zero-curvature ends; interior points agree to the spline
+        order.
         """
         t_query = np.atleast_1d(np.asarray(t_query, dtype=float))
         out = Solution(results=self.results, Y_final=self.Y_final,
@@ -158,7 +179,8 @@ class Solution:
             return 0 if tq < tspans[0][0] else len(tspans) - 1
 
         seg_idx = np.array([seg_of(tq) for tq in t_query])
-        from .utils.interp import spline_interp
+        from .utils.interp import hermite_interp, spline_interp
+        have_yp = "Y" in self.arrays and "YP" in self.arrays
         for k, v in self.arrays.items():
             if k == "t":
                 out.arrays[k] = t_query
@@ -170,8 +192,14 @@ class Solution:
                     continue
                 tt = self.t[r.run_index]
                 vv = v[r.run_index]
-                res[m] = spline_interp(tt, vv, t_query[m],
-                                       extrapolate=(interp_bc == "extrapolate"))
+                extrap = interp_bc == "extrapolate"
+                if k == "Y" and have_yp and len(tt) > 1:
+                    res[m] = hermite_interp(
+                        tt, vv, self.arrays["YP"][r.run_index], t_query[m],
+                        extrapolate=extrap)
+                else:
+                    res[m] = spline_interp(tt, vv, t_query[m],
+                                           extrapolate=extrap)
             out.arrays[k] = res
         return out
 
@@ -186,7 +214,7 @@ class Solution:
                      flag=r.flag, exit_reason=r.exit_reason,
                      n_steps=r.n_steps, n_rejected=r.n_rejected,
                      run_index=(r.run_index.start, r.run_index.stop),
-                     init_converged=r.init_converged)
+                     init_converged=r.init_converged, truncated=r.truncated)
                 for r in self.results]
         import json
         extra = {}

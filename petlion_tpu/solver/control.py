@@ -53,10 +53,18 @@ class ControlSpec:
     method: one of METHODS. func: optional time/state function whose output
     is the setpoint (run_function in the reference); for method="res" it IS
     the residual expression (run_residual).
-    """
+
+    init_aux: optional per-run setup hook `f(y_start, th) -> array` whose
+    result is injected into the θ dict as ``th["_ctrl_aux"]`` before any
+    residual evaluation. Used by the derivative-hold modes (dc_s_*/dc_e_*)
+    to select the extremal node from the run's *starting state* — on device,
+    per cell, so batched cells hold different nodes (the reference picks the
+    node on the host from the previous solution, input_methods.jl:191-247,
+    which is single-cell-only)."""
 
     method: str
     func: Optional[Callable] = None
+    init_aux: Optional[Callable] = None
 
     def __post_init__(self):
         assert self.method in METHODS, self.method

@@ -34,13 +34,14 @@ class BoundsPrev(NamedTuple):
     eta_plating: jax.Array
     c_e_min: jax.Array
     dfilm: jax.Array
+    stop_g: jax.Array      # user stop-function margin (signed-margin hooks)
 
     @staticmethod
     def init(dtype):
         f = lambda v: jnp.asarray(v, dtype)
         return BoundsPrev(t_frac=f(1.0), V=f(-1.0), SOC=f(-1.0), T=f(-1.0),
                           c_s_n=f(-1.0), I=f(-1.0), eta_plating=f(-1.0),
-                          c_e_min=f(-1.0), dfilm=f(-1.0))
+                          c_e_min=f(-1.0), dfilm=f(-1.0), stop_g=f(-1.0))
 
 
 def _mean_T(T_full, th, cfg: ModelConfig):
@@ -147,17 +148,29 @@ def check_stop(t, y, yp, soc, prev: BoundsPrev, flag, bounds: dict, th,
         state = fire(state, dfilm - bounds["dfilm_max"] > eps,
                      prev.dfilm, bounds["dfilm_max"], dfilm, 10)
 
-    new_flag = state["flag"]
-    # user stop hook (checks.jl:26) — boolean, no crossing localization;
-    # a bound located earlier inside the step (t_frac < 1) keeps priority
+    # user stop hook (checks.jl:26). Two accepted forms (decided at trace
+    # time): a *boolean* predicate fires flag 12 with no crossing
+    # localization (reference semantics — the stop lands on the accepted
+    # step); a *signed margin* g(t, y, yp, soc, th) > 0 participates in the
+    # same smallest-t_frac arbitration as the built-in bounds and is later
+    # re-localized on the dense-output polynomial exactly like flags 1-11
+    # (run.py), so a user stop is located to integration tolerance.
+    stop_g = prev.stop_g
     if stop_fn is not None:
-        fired = stop_fn(t, y, yp, soc, th)
-        new_flag = jnp.where(fired & (new_flag == EXIT_SIMULATING),
-                             jnp.asarray(12, new_flag.dtype), new_flag)
+        out = jnp.asarray(stop_fn(t, y, yp, soc, th))
+        if out.dtype == jnp.bool_:
+            state["flag"] = jnp.where(
+                out & (state["flag"] == EXIT_SIMULATING),
+                jnp.asarray(12, state["flag"].dtype), state["flag"])
+        else:
+            stop_g = out.astype(dtype)
+            state = fire(state, stop_g > eps, prev.stop_g,
+                         jnp.asarray(0.0, dtype), stop_g, 12)
+    new_flag = state["flag"]
 
     new_prev = BoundsPrev(
         t_frac=state["t_frac"], V=V, SOC=soc, T=T_mean, c_s_n=c_s_n_max,
-        I=I, eta_plating=eta_pl, c_e_min=c_e_min, dfilm=dfilm)
+        I=I, eta_plating=eta_pl, c_e_min=c_e_min, dfilm=dfilm, stop_g=stop_g)
     return new_prev, new_flag
 
 

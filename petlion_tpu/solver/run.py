@@ -58,6 +58,7 @@ class RunResultDev(NamedTuple):
     n_steps: jax.Array
     n_rejected: jax.Array
     init_converged: jax.Array
+    truncated: jax.Array       # output ring overflowed: tail overwritten
 
 
 def _vector_outputs(opts: SimOptions, cfg: ModelConfig):
@@ -153,6 +154,12 @@ def run_once(*,
     L = cfg.layout
     dtype = y_start.dtype
     nd = L.N_diff
+
+    # per-run control setup (ControlSpec.init_aux): e.g. the dc_*-hold modes
+    # select their extremal node from the starting state, per cell
+    if spec.init_aux is not None:
+        th = dict(th)
+        th["_ctrl_aux"] = spec.init_aux(y_start, th)
 
     # equilibrated LU by default: required for f32 (TPU) conditioning,
     # near-free in f64
@@ -412,6 +419,18 @@ def run_once(*,
     def _g_dfilm(t, y, yp, soc):
         return jnp.max(yp[L.sl("film")]) - bounds["dfilm_max"]
 
+    # a signed-margin stop_function (events.py flag 12) localizes exactly
+    # like the built-in bounds; boolean hooks keep reference semantics
+    # (stop on the accepted step, no bisection). Decided at trace time.
+    stop_is_margin = False
+    if opts.stop_function is not None:
+        probe = jnp.asarray(opts.stop_function(
+            jnp.asarray(0.0, dtype), y0, yp0, jnp.asarray(soc0, dtype), th))
+        stop_is_margin = probe.dtype != jnp.bool_
+
+    def _g_stop(t, y, yp, soc):
+        return jnp.asarray(opts.stop_function(t, y, yp, soc, th), dtype)
+
     g_branches = [
         lambda t, y, yp, soc: bounds["V_min"] - L.V(y),                # 1
         lambda t, y, yp, soc: L.V(y) - bounds["V_max"],                # 2
@@ -426,14 +445,15 @@ def run_once(*,
         lambda t, y, yp, soc: bounds["c_e_min"] - jnp.min(L.get(y, "c_e")),  # 9
         _g_dfilm if cfg.numerics.aging == "SEI" else _stub,            # 10
         lambda t, y, yp, soc: bounds["eta_plating_min"] - L.eta_plating(y),  # 11
+        _g_stop if stop_is_margin else _stub,                          # 12
     ]
-    code_idx = jnp.clip(flag - 1, 0, 10)
+    code_idx = jnp.clip(flag - 1, 0, 11)
 
     def g_at(t):
         y, yp = bdf.dense_eval(rs.bdf.D, rs.bdf.h, rs.bdf.order, t_last, t)
         return jax.lax.switch(code_idx, g_branches, t, y, yp, soc_at(t, y))
 
-    localizable = (flag >= 1) & (flag <= 11)
+    localizable = (flag >= 1) & (flag <= (12 if stop_is_margin else 11))
     g_lo = g_at(rs.t_prev)
     use_bisect = do_interp & localizable & (g_lo < 0)
 
@@ -460,4 +480,9 @@ def run_once(*,
         y0_run=y0,
         y_final=y_f, yp_final=yp_f, soc_final=soc_f, t_final=t_f,
         n_steps=rs.bdf.n_steps, n_rejected=rs.bdf.n_rejected,
-        init_converged=init.converged)
+        init_converged=init.converged,
+        # the ring-clamp overwrote the last slot at least once: save_idx
+        # counts 1 (initial point) + accepted steps, so exceeding max_save
+        # means accepted points were dropped from the record (the solver
+        # trajectory itself is unaffected)
+        truncated=rs.save_idx > opts.max_save)

@@ -59,6 +59,36 @@ def _cubic_coeffs(t, y):
     return M
 
 
+def hermite_interp(t, y, yp, t_query, extrapolate=False):
+    """Piecewise cubic Hermite using the solver's stored derivatives.
+
+    Where the natural cubic spline (Dierckx replacement) infers curvature
+    from the data, the solver *knows* dY/dt at every accepted step (the
+    recorded YP), so the Hermite interpolant is locally 4th-order accurate
+    with no boundary-condition ambiguity. Used by ``Solution.__call__`` for
+    the Y array when YP was recorded."""
+    t = np.asarray(t, float)
+    y = np.asarray(y, float)
+    yp = np.asarray(yp, float)
+    t_query = np.asarray(t_query, float)
+    if len(t) == 1:
+        return np.broadcast_to(y[0], t_query.shape + y.shape[1:]).copy()
+    tq = t_query if extrapolate else np.clip(t_query, t[0], t[-1])
+    idx = np.clip(np.searchsorted(t, tq) - 1, 0, len(t) - 2)
+    h = t[idx + 1] - t[idx]
+    h = np.where(h <= 0, 1e-300, h)
+    s = (tq - t[idx]) / h
+    if y.ndim > 1:
+        s = s[:, None]
+        h = h[:, None]
+    h00 = (1 + 2 * s) * (1 - s) ** 2
+    h10 = s * (1 - s) ** 2
+    h01 = s**2 * (3 - 2 * s)
+    h11 = s**2 * (s - 1)
+    return (h00 * y[idx] + h01 * y[idx + 1]
+            + h * (h10 * yp[idx] + h11 * yp[idx + 1]))
+
+
 def spline_interp(t, y, t_query, extrapolate=False):
     """Natural cubic spline evaluation; y may be (n,) or (n, m)."""
     t = np.asarray(t, float)

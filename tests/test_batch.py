@@ -115,3 +115,55 @@ def test_protocol_thermal_f32():
     # path used to return the internal T-offset state unconverted)
     T_fin = np.asarray(sol.Y_final)[pth.cfg.layout.sl("T")]
     assert np.all(T_fin > 290.0) and np.all(T_fin < 330.0)
+
+
+def test_batched_dc_hold_per_cell_nodes(p):
+    """dc_s_* derivative-holds select their extremal node ON DEVICE from the
+    run's starting state — per cell, so two batched cells hold different
+    nodes (round 3: the reference's host-side argmax is single-cell-only,
+    input_methods.jl:191-247)."""
+    from petlion_tpu.physics.initial_guess import initial_guess
+    from petlion_tpu.sim import _build_control
+    from petlion_tpu.solver import events
+    from petlion_tpu.solver.run import run_once
+
+    name, spec, value, is_rest, is_th = _build_control(
+        p, None, {"dc_s_p_max": "hold"})
+    th = p._theta_dev(jnp.float64)
+    y0 = initial_guess(0.5, th, p.cfg, jnp.float64)
+    idx_all = np.asarray(p.cfg.layout.c_s_surface_slice("p"))
+    n2, n7 = int(idx_all[2]), int(idx_all[7])
+    # both cells get gentle radial gradients in BOTH particles 2 and 7, with
+    # opposite magnitudes, so their argmax (the held node) differs; a linear
+    # radial profile relaxes on the slow R²/D ≈ 400 s diffusion scale, so
+    # holding its surface derivative needs only a tiny current
+    r_p = p.N.r_p
+    sl_p = p.cfg.layout.sl("c_s_avg", "p")
+
+    def grad(y, part, delta):
+        base = sl_p.start + part * r_p
+        return y.at[base:base + r_p].add(jnp.linspace(0.0, delta, r_p))
+
+    yA = grad(grad(y0, 2, 50.0), 7, 30.0)
+    yB = grad(grad(y0, 2, 30.0), 7, 50.0)
+    assert int(spec.init_aux(yA, th)) == n2
+    assert int(spec.init_aux(yB, th)) == n7
+
+    bdict = {k: jnp.asarray(v, jnp.float64)
+             for k, v in events.bounds_dict(p.bounds).items()}
+    opts = p.opts.replace(max_save=32, maxiters=200)
+
+    def one(y_start):
+        return run_once(y_start=y_start, soc0=jnp.asarray(0.5), value=0.0,
+                        tf=jnp.asarray(5.0), th=th, bounds=bdict, cfg=p.cfg,
+                        spec=spec, opts=opts)
+
+    res = jax.vmap(one)(jnp.stack([yA, yB]))
+    yp = np.asarray(res.yp_final)
+    assert np.all(np.asarray(res.flag) == 0), res.flag
+    # each cell holds ITS OWN extremal node's derivative at 0, while the
+    # other cell's gradient node relaxes freely (diffuses into the particle)
+    assert abs(yp[0, n2]) < 1e-7 < abs(yp[0, n7])
+    assert abs(yp[1, n7]) < 1e-7 < abs(yp[1, n2])
+    assert abs(yp[0, n7]) > 50 * abs(yp[0, n2])
+    assert abs(yp[1, n2]) > 50 * abs(yp[1, n7])

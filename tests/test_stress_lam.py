@@ -36,16 +36,20 @@ def test_layout_and_initial_guess(p_lam):
 
 
 def test_eps_s_monotone_nonincreasing(p_lam):
-    # amplify the LAM rate so a single 600 s pulse shows measurable loss
-    p_lam.theta["beta_LAM"] = 5e-4
+    # amplify the LAM rate so a single 600 s pulse shows measurable loss —
+    # 105× amplified: strong loss (Δε_s ≈ 0.6) with the run still completing
+    # (at ≥3e-4 the active material is driven to ~0 and the solver rightly
+    # fails; the exit-reason assertion below guards against silently
+    # validating such a truncated trajectory)
+    p_lam.theta["beta_LAM"] = 2e-4
     sol = pt.simulate(p_lam, 600.0, I=-2, SOC=1.0,
                       outputs=("t", "V", "eps_s"))
+    assert sol.final_exit_reason() == "Final time reached"
     eps = np.asarray(sol.arrays["eps_s"])
     assert eps.shape[1] == p_lam.N.p + p_lam.N.n
     assert np.all(np.diff(eps, axis=0) <= 1e-12)
-    assert eps[-1].min() < eps[0].max()     # some loss actually happened
-    # the ε_s>0 rate gate keeps the fraction physical even at this
-    # pathological 263× amplified rate (ungated it reaches −0.06)
+    assert eps[-1].min() < eps[0].max() - 0.1   # strong loss actually happened
+    # the ε_s>0 rate gate keeps the fraction physical even amplified
     assert eps.min() >= -1e-6
     p_lam.theta["beta_LAM"] = 1.9e-6
 
