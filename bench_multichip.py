@@ -7,7 +7,9 @@ vs a single-device run of the same per-device batch.
 
 On the current 1-TPU-chip environment this measures n_devices=1 (trivially
 100% efficiency); the measurement logic is validated for correctness (not
-speed) on an 8-virtual-device CPU mesh by `--cpu-mesh 8`:
+speed) on an 8-virtual-device CPU mesh by `--cpu-mesh 8` and continuously by
+`tests/test_batch.py::test_multichip_measurement_logic`, so the day real
+hardware appears the scaling claim is one command away:
 
     python bench_multichip.py              # real devices (TPU)
     python bench_multichip.py --cpu-mesh 8 # virtual 8-device CPU mesh
@@ -22,6 +24,41 @@ import json
 import time
 
 import numpy as np
+
+
+def run_batch(p, B, mesh, seed, tf=3.9e3):
+    """One batched discharge with fresh-random θ leaves (memoization-proof)."""
+    import jax
+    from petlion_tpu.parallel.batch import batch_simulate
+    r = np.random.default_rng(seed)
+    tb = {"D_sp": 1e-14 * (1 + 0.05 * r.standard_normal(B)),
+          "D_sn": 3.9e-14 * (1 + 0.05 * r.standard_normal(B)),
+          "k_p": 2.334e-11 * (1 + 0.05 * r.standard_normal(B)),
+          "k_n": 5.031e-11 * (1 + 0.05 * r.standard_normal(B))}
+    res = batch_simulate(p, tf, I=-1.0, SOC=1.0, theta_batch=tb,
+                         mesh=mesh, outputs=("t", "V"))
+    jax.block_until_ready(res.flag)
+    return res
+
+
+def measure(p, B, mesh, tag, reps=10, keep_results=False):
+    """Warm until per-rep stabilizes, then cumulative wall over reps."""
+    import jax  # noqa: F401
+    for i in range(12):
+        t0 = time.time()
+        run_batch(p, B, mesh, 1000 + i)
+        if time.time() - t0 < 0.5 and i >= 2:
+            break
+    kept = []
+    t0 = time.time()
+    for i in range(reps):
+        kept.append(run_batch(p, B, mesh, 10_000 + i))
+    dt = time.time() - t0
+    ok = float(np.mean([np.isin(np.asarray(r.flag), (0, 1, 3)).mean()
+                        for r in kept]))
+    row = {"tag": tag, "batch": B, "wall_s": round(dt, 3),
+           "rate_per_s": round(reps * B / dt, 1), "ok": ok}
+    return (row, kept) if keep_results else row
 
 
 def main():
@@ -45,7 +82,7 @@ def main():
     jax.config.update("jax_enable_x64", False)
 
     import petlion_tpu as pt
-    from petlion_tpu.parallel.batch import batch_simulate, make_cell_mesh
+    from petlion_tpu.parallel.batch import make_cell_mesh
 
     devices = jax.devices()
     n_dev = len(devices)
@@ -55,44 +92,16 @@ def main():
     p = pt.petlion(pt.LCO)
     p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
                             maxiters=500)
-    rng = np.random.default_rng(0)
-
-    def run(B, mesh, seed):
-        r = np.random.default_rng(seed)
-        tb = {"D_sp": 1e-14 * (1 + 0.05 * r.standard_normal(B)),
-              "D_sn": 3.9e-14 * (1 + 0.05 * r.standard_normal(B)),
-              "k_p": 2.334e-11 * (1 + 0.05 * r.standard_normal(B)),
-              "k_n": 5.031e-11 * (1 + 0.05 * r.standard_normal(B))}
-        res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                             mesh=mesh, outputs=("t", "V"))
-        jax.block_until_ready(res.flag)
-        return res
-
-    def measure(B, mesh, tag):
-        """Warm until per-rep stabilizes, then cumulative wall over reps."""
-        for i in range(12):
-            t0 = time.time()
-            run(B, mesh, 1000 + i)
-            if time.time() - t0 < 0.5 and i >= 2:
-                break
-        kept = []
-        t0 = time.time()
-        for i in range(args.reps):
-            kept.append(run(B, mesh, 10_000 + i).flag)
-        dt = time.time() - t0
-        ok = float(np.mean([np.isin(np.asarray(f), (0, 1, 3)).mean()
-                            for f in kept]))
-        return {"tag": tag, "batch": B, "wall_s": round(dt, 3),
-                "rate_per_s": round(args.reps * B / dt, 1), "ok": ok}
 
     # single-device baseline (same per-device batch, no mesh)
-    base = measure(pdb, None, "single_device")
+    base = measure(p, pdb, None, "single_device", reps=args.reps)
     results = [base]
     print(json.dumps({**base, "platform": platform}), flush=True)
 
     if n_dev > 1:
         mesh = make_cell_mesh("cells")
-        multi = measure(pdb * n_dev, mesh, f"mesh_{n_dev}dev")
+        multi = measure(p, pdb * n_dev, mesh, f"mesh_{n_dev}dev",
+                        reps=args.reps)
         eff = multi["rate_per_s"] / (base["rate_per_s"] * n_dev)
         multi["scaling_efficiency"] = round(eff, 3)
         multi["per_device_rate"] = round(multi["rate_per_s"] / n_dev, 1)
