@@ -41,7 +41,15 @@ class JacobianPlan:
                                      make_sparse_specs, sparse_schur_factor,
                                      sparse_schur_solve)
             self.split = make_group_split(cfg.layout, pattern)
-            self._specs = make_sparse_specs(self.colored, self.split)
+            # nested in-core elimination levels (j, then Φ_s): core 71 -> 31
+            # on the default mesh. PETLION_NESTED: "1" (default) = both,
+            # "j" = j only, "0" = off — the A/B toggle for perf audits.
+            import os
+            _nest = os.environ.get("PETLION_NESTED", "1")
+            families = {"1": ("j", "Phi_s"), "j": ("j",), "0": ()}.get(
+                _nest, ("j", "Phi_s"))
+            self._specs = make_sparse_specs(self.colored, self.split,
+                                            cfg.layout, families)
             colored, specs, split = self.colored, self._specs, self.split
 
             def solve(fac, b):

@@ -246,8 +246,10 @@ def _group_coupling(pattern, rows2d, i2, pos_of):
                         bpos=pos_of[bcols_p], cpos=pos_of[crows_p])
 
 
-def make_sparse_specs(colored, split: GroupSplit):
-    """Static specs for the fully-sparse multi-group Schur factorization."""
+def make_sparse_specs(colored, split: GroupSplit, layout: StateLayout = None,
+                      nested_families=("j", "Phi_s")):
+    """Static specs for the fully-sparse multi-group Schur factorization,
+    plus the nested in-core elimination levels (empty when no layout)."""
     i2 = split.i_core
     pattern = colored.pattern
     pos_of = np.zeros(colored.n, dtype=np.int64)
@@ -255,12 +257,15 @@ def make_sparse_specs(colored, split: GroupSplit):
     cspecs = tuple(_group_coupling(pattern, g, i2, pos_of)
                    for g in split.group_rows)
     spec_D = colored.submatrix_spec(i2, i2)
-    return (cspecs, spec_D)
+    nested = (make_nested_specs(layout, i2, nested_families)
+              if layout is not None else ())
+    return (cspecs, spec_D, nested)
 
 
 class SparseSchur(NamedTuple):
-    """Per-group (inv, AinvB, C) triples + equilibrated core inverse.
-    A nested tuple-of-tuples of arrays — a plain pytree, vmap-transparent.
+    """Per-group (inv, AinvB, C) triples + nested dense eliminations +
+    equilibrated core inverse. A nested tuple-of-tuples of arrays — a plain
+    pytree, vmap-transparent.
 
     NOTE (f32 conditioning, measured): thermal configs with derivative-hold
     controls reach cond(J) ≈ 1e14-1e16 (the dT control row is nearly
@@ -272,6 +277,60 @@ class SparseSchur(NamedTuple):
     validated) and all f64."""
     groups: tuple
     core_inv: tuple
+    levels: tuple = ()
+
+
+# ---------------------------------------------------------------------------
+# nested dense elimination inside the assembled core: state families whose
+# SELF-coupling is invertible but which cross-couple with the level-1 groups
+# (so they cannot join the one-shot multi-group elimination) are eliminated
+# sequentially from the dense Schur core D. For the default isothermal mesh:
+#
+#   level 1 (groups):  c_s particles, c_e           core 301 -> 71
+#   level 2 (nested):  j   (diag + fill, invertible)     71 -> 51
+#   level 3 (nested):  Φ_s (singular Neumann Laplacian alone — res_Phi_s
+#                      rows touch only Φ_s/j/I — but PINNED once the j fill
+#                      C_Φs,j A_j⁻¹ B_j,Φs lands on it)   51 -> 31
+#
+# Each level is exact block algebra (no approximation); only numerical
+# stability is at stake, and the f32+thermal configs that stress it are
+# already routed to the pivoted RefinedLU path by the plan. Cost: the final
+# Gauss-Jordan core shrinks 71³ -> 31³ + two equilibrated 20×20 inverses.
+# Reference par: this plays the role of KLU's fill-reducing elimination
+# ordering (model_evaluation.jl:271, scalar_residual.jl:489-507).
+# ---------------------------------------------------------------------------
+
+
+def make_nested_specs(layout: StateLayout, i_core: np.ndarray,
+                      families=("j", "Phi_s")) -> tuple:
+    """Static per-level (e_pos, r_pos) position arrays into the shrinking
+    core vector, one level per eliminated family. The control row (last
+    core position) always stays in the final core."""
+    cur = np.asarray(i_core)
+    specs = []
+    for fam in families:
+        if fam not in layout:
+            continue
+        s = layout.sl(fam)
+        gi = np.arange(s.start, s.stop)
+        mask = np.isin(cur, gi)
+        if not mask.any() or mask.all():
+            continue
+        e_pos = np.nonzero(mask)[0]
+        r_pos = np.nonzero(~mask)[0]
+        specs.append((e_pos, r_pos))
+        cur = cur[r_pos]
+    return tuple(specs)
+
+
+def _equilibrated_inv(A):
+    """Plain explicit inverse with the equilibration scalings folded back:
+    A = diag(row)·As·diag(col)  =>  A⁻¹ = diag(1/col)·As⁻¹·diag(1/row)."""
+    colA = jnp.maximum(jnp.max(jnp.abs(A), axis=-2), 1e-30)
+    rowA = jnp.maximum(jnp.max(jnp.abs(A / colA[..., None, :]), axis=-1),
+                       1e-30)
+    inv_s = linsolve.gj_inverse(A / colA[..., None, :] / rowA[..., :, None])
+    return inv_s / colA[..., :, None] / rowA[..., None, :]
 
 
 def _extract_B(JS, colored, cs: CouplingSpec):
@@ -294,7 +353,7 @@ def _extract_C(JS, last_row, colored, cs: CouplingSpec, n_tot: int):
 
 
 def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
-    cspecs, spec_D = specs
+    cspecs, spec_D, nested = specs
     n_tot = colored.n
     D = colored.submatrix(JS, last_row, spec_D)
     per_group = []
@@ -324,12 +383,23 @@ def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
         D = D.at[jnp.asarray(cs.cpos)[:, :, None],
                  jnp.asarray(cs.bpos)[:, None, :]].add(-S)
         per_group.append((inv, AinvB, C))
+    levels = []
+    for e_pos, r_pos in nested:
+        A = D[jnp.ix_(e_pos, e_pos)]
+        Bm = D[jnp.ix_(e_pos, r_pos)]
+        Cm = D[jnp.ix_(r_pos, e_pos)]
+        invA = _equilibrated_inv(A)
+        AinvB = jnp.matmul(invA, Bm, precision="highest")
+        D = (D[jnp.ix_(r_pos, r_pos)]
+             - jnp.matmul(Cm, AinvB, precision="highest"))
+        levels.append((invA, AinvB, Cm))
     core_inv = linsolve.equilibrated_inv_factor(D)
-    return SparseSchur(groups=tuple(per_group), core_inv=core_inv)
+    return SparseSchur(groups=tuple(per_group), core_inv=core_inv,
+                       levels=tuple(levels))
 
 
 def sparse_schur_solve(fac: SparseSchur, b, specs, split: GroupSplit):
-    cspecs, _ = specs
+    cspecs, _, nested = specs
     i2 = split.i_core
     rhs2 = b[..., i2]
     zs = []
@@ -340,7 +410,23 @@ def sparse_schur_solve(fac: SparseSchur, b, specs, split: GroupSplit):
         cz = jnp.matmul(C, z, precision="highest")[..., 0]
         rhs2 = rhs2.at[jnp.asarray(cs.cpos)].add(-cz)
         zs.append(z)
+    # nested in-core eliminations: forward pass
+    zl = []
+    for (invA, AinvB, Cm), (e_pos, r_pos) in zip(fac.levels, nested):
+        be = rhs2[..., e_pos]
+        z = jnp.matmul(invA, be[..., None], precision="highest")[..., 0]
+        rhs2 = (rhs2[..., r_pos]
+                - jnp.matmul(Cm, z[..., None], precision="highest")[..., 0])
+        zl.append(z)
     x2 = linsolve.equilibrated_inv_solve(fac.core_inv, rhs2)
+    # nested back-substitution (reverse level order)
+    for (invA, AinvB, Cm), (e_pos, r_pos), z in zip(
+            reversed(fac.levels), reversed(nested), reversed(zl)):
+        xe = z - jnp.matmul(AinvB, x2[..., None], precision="highest")[..., 0]
+        xf = jnp.zeros(x2.shape[:-1] + (len(e_pos) + len(r_pos),), x2.dtype)
+        xf = xf.at[..., r_pos].set(x2)
+        xf = xf.at[..., e_pos].set(xe)
+        x2 = xf
     x = jnp.zeros_like(b)
     x = x.at[..., i2].set(x2)
     for (inv, AinvB, C), cs, z in zip(fac.groups, cspecs, zs):
