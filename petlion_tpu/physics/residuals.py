@@ -115,15 +115,18 @@ def cell_widths_psn(N: Discretizations, th, half_cell: bool = False):
     return jnp.concatenate(parts)
 
 
-def cell_widths_thermal(N: Discretizations, th):
-    """Per-CV widths over the 5-section thermal grid (a,p,s,n,z) [m]."""
-    return jnp.concatenate([
-        jnp.full((N.a,), th["l_a"] / N.a),
-        jnp.full((N.p,), th["l_p"] / N.p),
-        jnp.full((N.s,), th["l_s"] / N.s),
-        jnp.full((N.n,), th["l_n"] / N.n),
-        jnp.full((N.z,), th["l_z"] / N.z),
-    ])
+def cell_widths_thermal(N: Discretizations, th, half_cell: bool = False):
+    """Per-CV widths over the thermal grid [m]: (a,p,s,n,z) for a full
+    cell; (a,p,s,z) for the half-cell, where the lithium foil is a
+    boundary heat source at the s|z interface (its 25 µm of metal adds
+    negligible conduction resistance — λ_Li ≈ 85 W/mK)."""
+    parts = [jnp.full((N.a,), th["l_a"] / N.a),
+             jnp.full((N.p,), th["l_p"] / N.p),
+             jnp.full((N.s,), th["l_s"] / N.s)]
+    if not half_cell:
+        parts.append(jnp.full((N.n,), th["l_n"] / N.n))
+    parts.append(jnp.full((N.z,), th["l_z"] / N.z))
+    return jnp.concatenate(parts)
 
 
 def edge_interp(x, h):
@@ -774,28 +777,41 @@ def _res_T(aux, y, yp, th, cfg: ModelConfig):
     T-offset (T − T_amb) so f32 keeps the intra-cell gradients exactly; the
     heat-generation sources (where T appears multiplicatively) use absolute T
     via `aux`. Mathematically identical to the reference in exact arithmetic.
+
+    Half-cell (anode="Li_metal"): the grid is (a,p,s,z) — the foil carries
+    no distributed temperature state (it is thin metal) and enters as an
+    interfacial heat source F·j_foil·η_foil = −I_density·η_foil [W/m²] at
+    the s|z interface, injected into the first z CV (the reference never
+    wires any half-cell thermal model; this is the natural completion).
     """
     N, L = cfg.N, cfg.layout
+    hc = cfg.half_cell
     T = aux["T_off"]
-    h = cell_widths_thermal(N, th)
-    lam_cells = jnp.concatenate([
-        jnp.full((N.a,), th["lam_a"]), jnp.full((N.p,), th["lam_p"]),
-        jnp.full((N.s,), th["lam_s"]), jnp.full((N.n,), th["lam_n"]),
-        jnp.full((N.z,), th["lam_z"]),
-    ]).astype(y.dtype)
-    rho_cp = jnp.concatenate([
-        jnp.full((N.a,), th["rho_a"] * th["Cp_a"]),
-        jnp.full((N.p,), th["rho_p"] * th["Cp_p"]),
-        jnp.full((N.s,), th["rho_s"] * th["Cp_s"]),
-        jnp.full((N.n,), th["rho_n"] * th["Cp_n"]),
-        jnp.full((N.z,), th["rho_z"] * th["Cp_z"]),
-    ]).astype(y.dtype)
+    h = cell_widths_thermal(N, th, hc)
+    lam_parts = [jnp.full((N.a,), th["lam_a"]), jnp.full((N.p,), th["lam_p"]),
+                 jnp.full((N.s,), th["lam_s"])]
+    rho_parts = [jnp.full((N.a,), th["rho_a"] * th["Cp_a"]),
+                 jnp.full((N.p,), th["rho_p"] * th["Cp_p"]),
+                 jnp.full((N.s,), th["rho_s"] * th["Cp_s"])]
+    if not hc:
+        lam_parts.append(jnp.full((N.n,), th["lam_n"]))
+        rho_parts.append(jnp.full((N.n,), th["rho_n"] * th["Cp_n"]))
+    lam_parts.append(jnp.full((N.z,), th["lam_z"]))
+    rho_parts.append(jnp.full((N.z,), th["rho_z"] * th["Cp_z"]))
+    lam_cells = jnp.concatenate(lam_parts).astype(y.dtype)
+    rho_cp = jnp.concatenate(rho_parts).astype(y.dtype)
 
     lam_edge = edge_interp(lam_cells, h)
     flux = lam_edge * edge_grad(T, h)
     conduction = flux_divergence(flux, h)
 
     Q_rev, Q_rxn, Q_ohm = _heat_generation(aux, th, cfg)
+    if hc:
+        # foil interfacial heat into the first z CV: η_foil = −Φ_e(foil
+        # face), j_foil = −I_density/F  =>  q = F·j_foil·η_foil ≥ 0
+        eta_foil = -aux["Phi_e"][-1]
+        i_z0 = N.a + N.p + N.s
+        Q_rxn = Q_rxn.at[i_z0].add(-aux["I_density"] * eta_foil / h[i_z0])
 
     # Robin BCs: h_cell·(T_amb − T) = −h_cell·T_offset, exact in offset form
     bc = jnp.zeros_like(T)
@@ -834,11 +850,20 @@ def _heat_generation(aux, th, cfg: ModelConfig):
     def acd_left(x_l, h_l, x_r, h_r):
         return 2.0 * (x_r[1] - x_l[-1]) / (h_l + 3.0 * h_r)
 
+    hc = cfg.half_cell
+
     def section_derivs(x_p, x_s, x_n):
-        """[interface-aware d/dx] per section (auxiliary:431-484)."""
+        """[interface-aware d/dx] per section (auxiliary:431-484).
+        Half-cell: no n section — the separator's right end is the foil
+        face, a one-sided difference."""
         d_p = jnp.concatenate([
             fdl(x_p, h_p)[None], central(x_p, h_p),
             acd_right(x_p, h_p, x_s, h_s)[None]])
+        if hc:
+            d_s = jnp.concatenate([
+                acd_left(x_p, h_p, x_s, h_s)[None], central(x_s, h_s),
+                fdr(x_s, h_s)[None]])
+            return d_p, d_s, x_n[:0]
         d_s = jnp.concatenate([
             acd_left(x_p, h_p, x_s, h_s)[None], central(x_s, h_s),
             acd_right(x_s, h_s, x_n, h_n)[None]])
@@ -850,8 +875,8 @@ def _heat_generation(aux, th, cfg: ModelConfig):
     Phi_s_p, Phi_s_n = Phi_s[:N.p], Phi_s[N.p:]
     dPhi_s_p = jnp.concatenate([
         fdl(Phi_s_p, h_p)[None], central(Phi_s_p, h_p), fdr(Phi_s_p, h_p)[None]])
-    dPhi_s_n = jnp.concatenate([
-        fdl(Phi_s_n, h_n)[None], central(Phi_s_n, h_n), fdr(Phi_s_n, h_n)[None]])
+    dPhi_s_n = (Phi_s_n if hc else jnp.concatenate([
+        fdl(Phi_s_n, h_n)[None], central(Phi_s_n, h_n), fdr(Phi_s_n, h_n)[None]]))
 
     Phi_e_p = Phi_e[:N.p]
     Phi_e_s = Phi_e[N.p:N.p + N.s]

@@ -114,11 +114,6 @@ def _check_errors_initial(theta: dict, numerics: Numerics):
         missing_for("aging='stress' (stress-driven LAM)",
                     _REQUIRED_THETA["stress"])
     if numerics.anode == "Li_metal":
-        if numerics.temperature:
-            raise ValueError(
-                "anode='Li_metal' (half-cell) does not support "
-                "temperature=True: the foil's thermal section is not wired; "
-                "pass temperature=False")
         if numerics.aging == "SEI":
             raise ValueError(
                 "anode='Li_metal' (half-cell) does not support aging='SEI': "

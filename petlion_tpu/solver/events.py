@@ -45,12 +45,10 @@ class BoundsPrev(NamedTuple):
 
 
 def _mean_T(T_full, th, cfg: ModelConfig):
-    """Thickness-weighted mean temperature (auxiliary...jl:649-676)."""
-    N = cfg.N
-    w = jnp.concatenate([
-        jnp.full((N.a,), th["l_a"] / N.a), jnp.full((N.p,), th["l_p"] / N.p),
-        jnp.full((N.s,), th["l_s"] / N.s), jnp.full((N.n,), th["l_n"] / N.n),
-        jnp.full((N.z,), th["l_z"] / N.z)])
+    """Thickness-weighted mean temperature (auxiliary...jl:649-676).
+    Half-cell: the grid is (a,p,s,z) — see residuals.cell_widths_thermal."""
+    from ..physics.residuals import cell_widths_thermal
+    w = cell_widths_thermal(cfg.N, th, cfg.half_cell)
     return jnp.sum(T_full * w) / jnp.sum(w)
 
 

@@ -76,7 +76,101 @@ def test_fast_solver_matches_dense(p_hc):
 
 
 def test_validation_errors():
-    with pytest.raises(ValueError, match="does not support temperature"):
-        pt.petlion(pt.LCO, anode="Li_metal", temperature=True)
     with pytest.raises(ValueError, match="does not support aging"):
         pt.petlion(pt.LCO, anode="Li_metal", aging="SEI")
+
+
+# ---------------------------------------------------------------------------
+# thermal half-cell (round 3): the foil is a boundary heat source on the
+# (a,p,s,z) grid — residuals._res_T. No reference counterpart exists (the
+# reference's half-cell is never runnable at all); oracles are invariants.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def p_hct():
+    return pt.petlion(pt.LCO, anode="Li_metal", temperature=True)
+
+
+def test_thermal_layout(p_hct):
+    """T lives on (a,p,s,z): no anode-section temperature states."""
+    L = p_hct.layout
+    s = L.sl("T")
+    assert s.stop - s.start == (p_hct.N.a + p_hct.N.p + p_hct.N.s
+                                + p_hct.N.z)
+    assert L.sl("T", "n").stop - L.sl("T", "n").start == 0
+
+
+def test_thermal_discharge_heats_up(p_hct):
+    """1C thermal discharge completes; the cell warms monotonically in the
+    mean (all heat sources are positive on discharge) and stays warmer with
+    convective cooling OFF (h_cell=0, adiabatic) than with the default."""
+    sol = pt.simulate(p_hct, 1800.0, I=-1, SOC=1.0, outputs=("t", "V", "T"))
+    assert sol.final_exit_reason() in ("Final time reached", "Below min. SOC")
+    T_mean = np.asarray(sol.T).mean(axis=1)
+    assert T_mean[-1] > T_mean[0] + 0.05          # it actually heats
+    # entropic heat can be transiently negative — no strict monotonicity,
+    # but no save-to-save drop should exceed 0.05 K at 1C
+    assert np.all(np.diff(T_mean) > -0.05)
+
+    p_ad = pt.petlion(pt.LCO, anode="Li_metal", temperature=True)
+    p_ad.theta["h_cell"] = 0.0
+    sol_ad = pt.simulate(p_ad, 1800.0, I=-1, SOC=1.0,
+                         outputs=("t", "V", "T"))
+    assert np.asarray(sol_ad.T)[-1].mean() > T_mean[-1] + 0.01
+
+
+def test_thermal_energy_balance_adiabatic():
+    """Adiabatic global energy balance (the defining invariant of the
+    thermal PDE): m_th·d⟨T⟩/dt = ∫Q dx, where the generated heat over a
+    short window equals the electrical dissipation I_density·(OCV_surf − V)
+    + entropic heat to leading order. Here we assert the integral form
+    computed from the solver's own heat-generation kernel: the
+    thickness-weighted mean T̃ rise matches ∫(ΣQ)dt/Σ(ρCp·h) along the
+    trajectory to <1% — a discretization-exact identity apart from time
+    integration of the saved trace."""
+    import jax.numpy as jnp
+    from petlion_tpu.physics import residuals as res
+    p = pt.petlion(pt.LCO, anode="Li_metal", temperature=True)
+    p.theta["h_cell"] = 0.0
+    sol = pt.simulate(p, 900.0, I=-1, SOC=1.0, outputs=("all",))
+    th = p._theta_dev()
+    cfg = p.cfg
+    h = np.asarray(res.cell_widths_thermal(cfg.N, th, True))
+    N = cfg.N
+    rho_cp = np.concatenate([
+        np.full(N.a, p.theta["rho_a"] * p.theta["Cp_a"]),
+        np.full(N.p, p.theta["rho_p"] * p.theta["Cp_p"]),
+        np.full(N.s, p.theta["rho_s"] * p.theta["Cp_s"]),
+        np.full(N.z, p.theta["rho_z"] * p.theta["Cp_z"])])
+    Y = np.asarray(sol.Y)
+    t = np.asarray(sol.t)
+    L = cfg.layout
+
+    def total_Q(y):
+        # recorded Y carries absolute T; the solver state carries T − T_amb
+        y = np.asarray(y).copy()
+        y[L.sl("T")] -= float(p.theta["T_amb"])
+        aux = res.build_auxiliary(0.0, jnp.asarray(y), th, cfg)
+        Q_rev, Q_rxn, Q_ohm = res._heat_generation(aux, th, cfg)
+        q = np.asarray(Q_rev + Q_rxn + Q_ohm).copy()
+        # foil interfacial heat (added inside _res_T, mirrored here)
+        eta_foil = -float(aux["Phi_e"][-1])
+        i_z0 = N.a + N.p + N.s
+        q[i_z0] += -float(aux["I_density"]) * eta_foil / h[i_z0]
+        return float(np.sum(q * h))
+
+    Q_t = np.array([total_Q(Y[k]) for k in range(len(t))])
+    heat_in = np.trapezoid(Q_t, t)                   # J/m²
+    E_stored = np.sum(rho_cp * h * (Y[-1, L.sl("T")] - Y[0, L.sl("T")]))
+    assert heat_in > 0
+    assert abs(E_stored - heat_in) / heat_in < 0.01
+
+
+def test_thermal_fast_solver_matches_dense(p_hct):
+    s_fast = pt.simulate(p_hct, 600.0, I=-1, SOC=1.0, fast_solver=True)
+    s_dense = pt.simulate(p_hct, 600.0, I=-1, SOC=1.0, fast_solver=False)
+    np.testing.assert_allclose(s_fast.V[-1], s_dense.V[-1], rtol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_fast.Y_final[p_hct.layout.sl("T")]),
+        np.asarray(s_dense.Y_final[p_hct.layout.sl("T")]), atol=1e-8)
