@@ -1,0 +1,112 @@
+"""In-process paired A/B of hot-path variants on TPU.
+
+The remote-TPU tunnel drifts between throughput plateaus over minutes
+(measured: identical programs + identical step counts swing 7.3k-13.0k
+discharges/s across subprocesses — tools/ab_meanshift.py round-3 run), so
+subprocess-level A/B cannot resolve <40% effects. This harness compiles ALL
+variants in ONE process and interleaves their timed blocks back-to-back, so
+every block-local comparison shares the same plateau; the median of
+per-block ratios is the drift-immune statistic.
+
+Variants are (mean-shift on/off) x (nested core elimination both/j/off):
+  ms1_n1   mean-shift on,  nested j+Phi_s (core 31)   <- HEAD default
+  ms1_nj   mean-shift on,  nested j only  (core 51)
+  ms1_n0   mean-shift on,  nested off     (core 71)   <- round-2 code
+  ms0_n1   mean-shift off, nested j+Phi_s
+
+Usage: python tools/ab_paired.py [blocks=5] [reps=8]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B = 1024
+
+
+def main():
+    blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+
+    import jax
+    jax.config.update("jax_enable_x64", False)
+    import petlion_tpu as pt
+    import petlion_tpu.physics.residuals as residuals
+    from petlion_tpu.ops import plan as planmod
+    from petlion_tpu.parallel.batch import batch_simulate
+
+    VARIANTS = [
+        ("ms1_n1", True, "1"),
+        ("ms1_nj", True, "j"),
+        ("ms1_n0", True, "0"),
+        ("ms0_n1", False, "1"),
+    ]
+
+    def make_runner(mean_shift, nested):
+        residuals._MEAN_SHIFT = mean_shift
+        os.environ["PETLION_NESTED"] = nested
+        planmod._PLAN_CACHE.clear()
+        p = pt.petlion(pt.LCO)   # fresh plan object => fresh jit entry
+        p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
+                                maxiters=500)
+
+        def run(seed):
+            rng = np.random.default_rng(seed)
+            tb = {"D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B)),
+                  "D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)),
+                  "k_p": 2.334e-11 * (1 + 0.05 * rng.standard_normal(B)),
+                  "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B))}
+            res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
+                                 outputs=("t", "V"))
+            jax.block_until_ready(res.flag)
+            return res
+
+        return run
+
+    runners = []
+    for name, ms, nested in VARIANTS:
+        t0 = time.time()
+        run = make_runner(ms, nested)
+        r = run(0)   # compile
+        ok = float(np.isin(np.asarray(r.flag), (0, 1, 3)).mean())
+        steps = float(np.asarray(r.n_steps).mean())
+        print(json.dumps({"variant": name, "compile_s":
+                          round(time.time() - t0, 1), "ok": ok,
+                          "mean_steps": round(steps, 1)}), flush=True)
+        runners.append((name, run))
+
+    # warm all variants into the tunnel's steady state
+    for w in range(10):
+        for _, run in runners:
+            run(100 + w)
+
+    rates = {name: [] for name, _ in runners}
+    for b in range(blocks):
+        for name, run in runners:
+            t0 = time.time()
+            for i in range(reps):
+                run(10_000 + 100 * b + i)
+            dt = time.time() - t0
+            rates[name].append(reps * B / dt)
+        row = {n: round(rates[n][-1], 0) for n in rates}
+        print(json.dumps({"block": b, **row}), flush=True)
+
+    base = VARIANTS[0][0]
+    summary = {"headline_variant": base,
+               "median_rate": {n: round(float(np.median(r)), 1)
+                               for n, r in rates.items()}}
+    for n, r in rates.items():
+        if n != base:
+            ratios = [a / b_ for a, b_ in zip(rates[base], r)]
+            summary[f"{base}_over_{n}"] = round(float(np.median(ratios)), 3)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
