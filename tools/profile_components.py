@@ -15,9 +15,18 @@ clock sees only the kernel executions):
              from mean attempts)
 
 Prints one JSON line. Run alone (no other TPU/CPU jobs).
+
+`--only NAME[,NAME...]` restricts to those components — the tunnel degrades
+~10x when one process interleaves several compiled programs (CLAUDE.md), so
+trustworthy absolute numbers come from one fresh process per component:
+
+    for c in residual factor solve newton4 init run; do
+        python tools/profile_components.py --only $c
+    done
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -27,7 +36,15 @@ REPS = 20
 WARM = 12
 
 
+def _selected():
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1]
+        return set(names.split(","))
+    return None
+
+
 def main():
+    only = _selected()
     import jax
     jax.config.update("jax_enable_x64", False)
     import jax.numpy as jnp
@@ -130,6 +147,8 @@ def main():
     out = {"batch": B, "reps": REPS}
 
     def time_kernel(name, fn, need_fac=False):
+        if only is not None and name not in only:
+            return
         seeds = list(range(hash(name) % 1000 * 10,
                            hash(name) % 1000 * 10 + WARM + REPS))
         ins = []
@@ -160,6 +179,10 @@ def main():
     time_kernel("init", lambda t_, fac: k_init(t_[0], t_[1]))
 
     # ---- full run reference ----------------------------------------------
+    if only is not None and "run" not in only:
+        print(json.dumps(out), flush=True)
+        return
+
     def k_run(seed):
         rng = np.random.default_rng(seed)
         tb = {k: v * (1 + 0.05 * rng.standard_normal(B))
