@@ -30,6 +30,14 @@ except Exception:  # pragma: no cover
 BS = 8  # elimination block width
 
 
+def _blocks_tile(n: int) -> int:
+    """Batch-tile width for stacks of small matrices: bigger tiles amortize
+    DMA granularity when n is tiny (a 10x10 block is only 400 B in HBM),
+    capped so the augmented VMEM scratch stays small."""
+    n_pad = ((n + BS - 1) // BS) * BS
+    return max(8, min(64, 512 // n_pad))
+
+
 def _tiny_gj(blk):
     """Unrolled pivot-free GJ inverse of a (..., BS, BS) block."""
     n = BS
@@ -128,5 +136,25 @@ if HAVE_PALLAS:
         if not a_batched:  # pragma: no cover
             A = jnp.broadcast_to(A, (axis_size,) + A.shape)
         return gj_inverse_pallas(A), True
+
+    @_custom_vmap
+    def gj_inverse_hot_blocks(A):
+        """(m, n, n) → (m, n, n) block inverses; under vmap the whole
+        (B, m, n, n) stack collapses into ONE VMEM-resident kernel over
+        B·m matrices — the factorization's per-group inverses (particle
+        blocks, c_e block, nested-level blocks) all route here so each is
+        a single HBM read + write instead of n scalar-GJ passes."""
+        m, n = A.shape[0], A.shape[1]
+        return gj_inverse_pallas(A.reshape(m, n, n), tile_b=_blocks_tile(n))
+
+    @gj_inverse_hot_blocks.def_vmap
+    def _gj_inverse_hot_blocks_vmap(axis_size, in_batched, A):
+        (a_batched,) = in_batched
+        if not a_batched:  # pragma: no cover
+            A = jnp.broadcast_to(A, (axis_size,) + A.shape)
+        B, m, n = A.shape[0], A.shape[1], A.shape[2]
+        inv = gj_inverse_pallas(A.reshape(B * m, n, n), tile_b=_blocks_tile(n))
+        return inv.reshape(B, m, n, n), True
 else:  # pragma: no cover
     gj_inverse_hot = None
+    gj_inverse_hot_blocks = None

@@ -323,13 +323,36 @@ def make_nested_specs(layout: StateLayout, i_core: np.ndarray,
     return tuple(specs)
 
 
+import os
+
+# A/B toggle for routing the factorization's block inverses through the
+# VMEM-resident Pallas GJ kernel (one HBM read+write per stack instead of
+# n scalar-GJ passes). "1" (default) = route on TPU f32; "0" = XLA only.
+_PALLAS_BLOCKS = os.environ.get("PETLION_PALLAS_BLOCKS", "1") != "0"
+
+
+def _gj_inverse_routed(As, min_n: int = 10):
+    """Pivot-free GJ inverse of a (..., n, n) stack, routed to the Pallas
+    VMEM kernel on the TPU f32 trace path (callers equilibrate first).
+    The XLA scalar GJ makes n HBM passes over the batched augmented
+    matrix; the kernel makes one read + one write."""
+    if _PALLAS_BLOCKS and linsolve._use_pallas_gj(As, min_n=min_n):
+        from .pallas_gj import gj_inverse_hot, gj_inverse_hot_blocks
+        if As.ndim == 2:
+            return gj_inverse_hot(As)
+        if As.ndim == 3:
+            return gj_inverse_hot_blocks(As)
+    return linsolve.gj_inverse(As)
+
+
 def _equilibrated_inv(A):
     """Plain explicit inverse with the equilibration scalings folded back:
     A = diag(row)·As·diag(col)  =>  A⁻¹ = diag(1/col)·As⁻¹·diag(1/row)."""
     colA = jnp.maximum(jnp.max(jnp.abs(A), axis=-2), 1e-30)
     rowA = jnp.maximum(jnp.max(jnp.abs(A / colA[..., None, :]), axis=-1),
                        1e-30)
-    inv_s = linsolve.gj_inverse(A / colA[..., None, :] / rowA[..., :, None])
+    inv_s = _gj_inverse_routed(A / colA[..., None, :] / rowA[..., :, None],
+                               min_n=17)
     return inv_s / colA[..., :, None] / rowA[..., None, :]
 
 
@@ -373,8 +396,8 @@ def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
         colA = jnp.maximum(jnp.max(jnp.abs(A), axis=-2), 1e-30)
         rowA = jnp.maximum(jnp.max(jnp.abs(A / colA[..., None, :]), axis=-1),
                            1e-30)
-        inv_s = linsolve.gj_inverse(A / colA[..., None, :]
-                                    / rowA[..., :, None])
+        inv_s = _gj_inverse_routed(A / colA[..., None, :]
+                                   / rowA[..., :, None])
         inv = inv_s / colA[..., :, None] / rowA[..., None, :]
         B = _extract_B(JS, colored, cs)                  # (n_part, r, m_b)
         C = _extract_C(JS, last_row, colored, cs, n_tot)  # (n_part, m_c, r)

@@ -124,11 +124,11 @@ def _best_bs(n: int) -> int:
     return min((32, 24, 16), key=cost)
 
 
-def _use_pallas_gj(J) -> bool:
+def _use_pallas_gj(J, min_n: int = 17) -> bool:
     """Route large inverses to the VMEM-resident Pallas kernel when tracing
     for TPU. Decided at trace time: tests/CPU runs fall back to the XLA
     blocked GJ, which is also the autodiff/interpret reference."""
-    if J.dtype != jnp.float32 or J.shape[-1] <= 16:
+    if J.dtype != jnp.float32 or J.shape[-1] < min_n:
         return False
     try:
         if jax.default_backend() != "tpu":

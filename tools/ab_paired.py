@@ -8,11 +8,11 @@ variants in ONE process and interleaves their timed blocks back-to-back, so
 every block-local comparison shares the same plateau; the median of
 per-block ratios is the drift-immune statistic.
 
-Variants are (mean-shift on/off) x (nested core elimination both/j/off):
-  ms1_n1   mean-shift on,  nested j+Phi_s (core 31)   <- HEAD default
-  ms1_nj   mean-shift on,  nested j only  (core 51)
-  ms1_n0   mean-shift on,  nested off     (core 71)   <- round-2 code
-  ms0_n1   mean-shift off, nested j+Phi_s
+Variants are (mean-shift) x (nested core elimination) x (pallas blocks):
+  head     mean-shift on, nested j+Phi_s (core 31), pallas block inverses
+  pb0      head but block inverses via XLA scalar GJ (round-2 behavior)
+  ms1_n0   head but nested elimination off (core 71)
+  ms0_n1   head but mean-shift off
 
 Usage: python tools/ab_paired.py [blocks=5] [reps=8]
 """
@@ -39,17 +39,19 @@ def main():
     import petlion_tpu as pt
     import petlion_tpu.physics.residuals as residuals
     from petlion_tpu.ops import plan as planmod
+    from petlion_tpu.ops import structured
     from petlion_tpu.parallel.batch import batch_simulate
 
     VARIANTS = [
-        ("ms1_n1", True, "1"),
-        ("ms1_nj", True, "j"),
-        ("ms1_n0", True, "0"),
-        ("ms0_n1", False, "1"),
+        ("head", True, "1", True),
+        ("pb0", True, "1", False),
+        ("ms1_n0", True, "0", True),
+        ("ms0_n1", False, "1", True),
     ]
 
-    def make_runner(mean_shift, nested):
+    def make_runner(mean_shift, nested, pallas_blocks):
         residuals._MEAN_SHIFT = mean_shift
+        structured._PALLAS_BLOCKS = pallas_blocks
         os.environ["PETLION_NESTED"] = nested
         planmod._PLAN_CACHE.clear()
         p = pt.petlion(pt.LCO)   # fresh plan object => fresh jit entry
@@ -70,9 +72,9 @@ def main():
         return run
 
     runners = []
-    for name, ms, nested in VARIANTS:
+    for name, ms, nested, pb in VARIANTS:
         t0 = time.time()
-        run = make_runner(ms, nested)
+        run = make_runner(ms, nested, pb)
         r = run(0)   # compile
         ok = float(np.isin(np.asarray(r.flag), (0, 1, 3)).mean())
         steps = float(np.asarray(r.n_steps).mean())
