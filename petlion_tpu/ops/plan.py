@@ -37,7 +37,8 @@ class JacobianPlan:
         self.use_schur = use_schur
         if use_schur:
             from ..solver import linsolve
-            from .structured import (SparseSchur, make_group_split,
+            from .structured import (SparseSchur, SparseSchurP,
+                                     make_group_split,
                                      make_sparse_specs, sparse_schur_factor,
                                      sparse_schur_solve)
             self.split = make_group_split(cfg.layout, pattern)
@@ -53,7 +54,7 @@ class JacobianPlan:
             colored, specs, split = self.colored, self._specs, self.split
 
             def solve(fac, b):
-                if not isinstance(fac, SparseSchur):
+                if not isinstance(fac, (SparseSchur, SparseSchurP)):
                     # f32 thermal fallback factorization (see
                     # factor_compressed): pivoted dense LU + refinement
                     return linsolve.refined_lu_solve(fac, b)

@@ -249,7 +249,9 @@ def _group_coupling(pattern, rows2d, i2, pos_of):
 def make_sparse_specs(colored, split: GroupSplit, layout: StateLayout = None,
                       nested_families=("j", "Phi_s")):
     """Static specs for the fully-sparse multi-group Schur factorization,
-    plus the nested in-core elimination levels (empty when no layout)."""
+    plus the nested in-core elimination levels (empty when no layout), plus
+    the core permutation that makes each level a contiguous leading slice
+    (consumed by the fused Pallas D-chain kernel, ops/pallas_schur.py)."""
     i2 = split.i_core
     pattern = colored.pattern
     pos_of = np.zeros(colored.n, dtype=np.int64)
@@ -259,7 +261,17 @@ def make_sparse_specs(colored, split: GroupSplit, layout: StateLayout = None,
     spec_D = colored.submatrix_spec(i2, i2)
     nested = (make_nested_specs(layout, i2, nested_families)
               if layout is not None else ())
-    return (cspecs, spec_D, nested)
+    pinfo = None
+    if nested:
+        cur = np.arange(len(i2))
+        order, sizes = [], []
+        for e_pos, r_pos in nested:
+            order.append(cur[e_pos])
+            sizes.append(len(e_pos))
+            cur = cur[r_pos]
+        order.append(cur)
+        pinfo = (np.concatenate(order), tuple(sizes))
+    return (cspecs, spec_D, nested, pinfo)
 
 
 class SparseSchur(NamedTuple):
@@ -277,6 +289,18 @@ class SparseSchur(NamedTuple):
     validated) and all f64."""
     groups: tuple
     core_inv: tuple
+    levels: tuple = ()
+
+
+class SparseSchurP(NamedTuple):
+    """Fused-kernel variant of SparseSchur, in PERMUTED core coordinates
+    (levels are contiguous leading slices — specs' pinfo holds the
+    permutation): per-group triples as in SparseSchur, per-level
+    (invA, AinvB, C) from the Pallas D-chain kernel, and the FOLDED core
+    inverse (equilibration scalings already multiplied back, so a solve is
+    one matvec). Produced only on the TPU f32 fast path."""
+    groups: tuple
+    core_inv: jax.Array
     levels: tuple = ()
 
 
@@ -325,10 +349,13 @@ def make_nested_specs(layout: StateLayout, i_core: np.ndarray,
 
 import os
 
-# A/B toggle for routing the factorization's block inverses through the
-# VMEM-resident Pallas GJ kernel (one HBM read+write per stack instead of
+# A/B toggles for routing the factorization's linear algebra through the
+# VMEM-resident Pallas kernels (one HBM read+write per stack instead of
 # n scalar-GJ passes). "1" (default) = route on TPU f32; "0" = XLA only.
+# BLOCKS: the per-group/nested block inverses; DCHAIN: the fused
+# nested-elimination + core-inverse kernel (ops/pallas_schur.py).
 _PALLAS_BLOCKS = os.environ.get("PETLION_PALLAS_BLOCKS", "1") != "0"
+_PALLAS_DCHAIN = os.environ.get("PETLION_PALLAS_DCHAIN", "1") != "0"
 
 
 def _gj_inverse_routed(As, min_n: int = 10):
@@ -375,8 +402,17 @@ def _extract_C(JS, last_row, colored, cs: CouplingSpec, n_tot: int):
                      M)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _dchain_hot_cached(sizes: tuple):
+    from .pallas_schur import make_dchain_hot
+    return make_dchain_hot(sizes)
+
+
 def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
-    cspecs, spec_D, nested = specs
+    cspecs, spec_D, nested, pinfo = specs
     n_tot = colored.n
     D = colored.submatrix(JS, last_row, spec_D)
     per_group = []
@@ -406,6 +442,18 @@ def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
         D = D.at[jnp.asarray(cs.cpos)[:, :, None],
                  jnp.asarray(cs.bpos)[:, None, :]].add(-S)
         per_group.append((inv, AinvB, C))
+    # fused D-chain: the whole nested-elimination + core-inverse sequence in
+    # one VMEM-resident Pallas kernel (permuted so levels are leading slices)
+    if (pinfo is not None and _PALLAS_DCHAIN
+            and linsolve._use_pallas_gj(D, min_n=17)):
+        perm, sizes = pinfo
+        pj = jnp.asarray(perm)
+        Dp = D[pj][:, pj]
+        outs = _dchain_hot_cached(sizes)(Dp)
+        levels = tuple((outs[3 * i], outs[3 * i + 1], outs[3 * i + 2])
+                       for i in range(len(sizes)))
+        return SparseSchurP(groups=tuple(per_group), core_inv=outs[-1],
+                            levels=levels)
     levels = []
     for e_pos, r_pos in nested:
         A = D[jnp.ix_(e_pos, e_pos)]
@@ -421,8 +469,8 @@ def sparse_schur_factor(JS, last_row, colored, specs, split: GroupSplit):
                        levels=tuple(levels))
 
 
-def sparse_schur_solve(fac: SparseSchur, b, specs, split: GroupSplit):
-    cspecs, _, nested = specs
+def sparse_schur_solve(fac, b, specs, split: GroupSplit):
+    cspecs, _, nested, pinfo = specs
     i2 = split.i_core
     rhs2 = b[..., i2]
     zs = []
@@ -433,23 +481,47 @@ def sparse_schur_solve(fac: SparseSchur, b, specs, split: GroupSplit):
         cz = jnp.matmul(C, z, precision="highest")[..., 0]
         rhs2 = rhs2.at[jnp.asarray(cs.cpos)].add(-cz)
         zs.append(z)
-    # nested in-core eliminations: forward pass
-    zl = []
-    for (invA, AinvB, Cm), (e_pos, r_pos) in zip(fac.levels, nested):
-        be = rhs2[..., e_pos]
-        z = jnp.matmul(invA, be[..., None], precision="highest")[..., 0]
-        rhs2 = (rhs2[..., r_pos]
-                - jnp.matmul(Cm, z[..., None], precision="highest")[..., 0])
-        zl.append(z)
-    x2 = linsolve.equilibrated_inv_solve(fac.core_inv, rhs2)
-    # nested back-substitution (reverse level order)
-    for (invA, AinvB, Cm), (e_pos, r_pos), z in zip(
-            reversed(fac.levels), reversed(nested), reversed(zl)):
-        xe = z - jnp.matmul(AinvB, x2[..., None], precision="highest")[..., 0]
-        xf = jnp.zeros(x2.shape[:-1] + (len(e_pos) + len(r_pos),), x2.dtype)
-        xf = xf.at[..., r_pos].set(x2)
-        xf = xf.at[..., e_pos].set(xe)
-        x2 = xf
+    if isinstance(fac, SparseSchurP):
+        # fused-kernel coordinates: permute once, levels are leading slices
+        perm, sizes = pinfo
+        pj = jnp.asarray(perm)
+        r2 = rhs2[..., pj]
+        zl = []
+        for (invA, AinvB, Cm), nk in zip(fac.levels, sizes):
+            z = jnp.matmul(invA, r2[..., :nk, None],
+                           precision="highest")[..., 0]
+            r2 = (r2[..., nk:]
+                  - jnp.matmul(Cm, z[..., None], precision="highest")[..., 0])
+            zl.append(z)
+        x2 = jnp.matmul(fac.core_inv, r2[..., None],
+                        precision="highest")[..., 0]
+        for (invA, AinvB, Cm), z in zip(reversed(fac.levels), reversed(zl)):
+            xe = (z
+                  - jnp.matmul(AinvB, x2[..., None], precision="highest")[..., 0])
+            x2 = jnp.concatenate([xe, x2], axis=-1)
+        x2 = jnp.zeros_like(x2).at[..., pj].set(x2)   # unpermute
+    else:
+        # nested in-core eliminations: forward pass
+        zl = []
+        for (invA, AinvB, Cm), (e_pos, r_pos) in zip(fac.levels, nested):
+            be = rhs2[..., e_pos]
+            z = jnp.matmul(invA, be[..., None], precision="highest")[..., 0]
+            rhs2 = (rhs2[..., r_pos]
+                    - jnp.matmul(Cm, z[..., None],
+                                 precision="highest")[..., 0])
+            zl.append(z)
+        x2 = linsolve.equilibrated_inv_solve(fac.core_inv, rhs2)
+        # nested back-substitution (reverse level order)
+        for (invA, AinvB, Cm), (e_pos, r_pos), z in zip(
+                reversed(fac.levels), reversed(nested), reversed(zl)):
+            xe = (z
+                  - jnp.matmul(AinvB, x2[..., None],
+                               precision="highest")[..., 0])
+            xf = jnp.zeros(x2.shape[:-1] + (len(e_pos) + len(r_pos),),
+                           x2.dtype)
+            xf = xf.at[..., r_pos].set(x2)
+            xf = xf.at[..., e_pos].set(xe)
+            x2 = xf
     x = jnp.zeros_like(b)
     x = x.at[..., i2].set(x2)
     for (inv, AinvB, C), cs, z in zip(fac.groups, cspecs, zs):

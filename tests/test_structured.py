@@ -49,6 +49,7 @@ def _newton_solve_err(p, seed=0, soc=0.7, i_val=-1.0, t=100.0):
 
     J = np.asarray(plan.colored(g, y))
     fac = jax.jit(lambda yy: plan.factor_compressed(g, yy))(y)
+    _LAST_FAC_TYPE[0] = type(fac).__name__
     b = jnp.asarray(rng.standard_normal(y.shape), dtype)
     x = np.asarray(plan.solve(fac, b))
     x_ref = np.linalg.solve(J, np.asarray(b))
@@ -56,12 +57,15 @@ def _newton_solve_err(p, seed=0, soc=0.7, i_val=-1.0, t=100.0):
     return err, plan
 
 
+_LAST_FAC_TYPE = [None]   # factor-type probe for the fused-route test
+
+
 def test_nested_specs_default_mesh():
     """Default LCO isothermal: groups eliminate c_s+c_e (core 301->71),
     nested levels eliminate j then Φ_s (71->51->31)."""
     p = pt.petlion(pt.LCO)
     plan = get_plan(p.cfg, p.theta)
-    cspecs, spec_D, nested = plan._specs
+    cspecs, spec_D, nested, pinfo = plan._specs
     assert len(plan.split.i_core) == 71
     assert len(nested) == 2
     e0, r0 = nested[0]
@@ -98,3 +102,51 @@ def test_schur_solve_nmc():
     p = pt.petlion(pt.NMC)
     err, _ = _newton_solve_err(p, seed=3, soc=0.55)
     assert err < 1e-7, err
+
+
+def test_perm_info_default_mesh():
+    """The fused-kernel permutation must cover the core exactly, with the
+    level sizes matching the nested specs and the control row landing in
+    the final (unpermuted-last) core block."""
+    p = pt.petlion(pt.LCO)
+    plan = get_plan(p.cfg, p.theta)
+    _, _, nested, pinfo = plan._specs
+    perm, sizes = pinfo
+    n_core = len(plan.split.i_core)
+    assert sorted(perm.tolist()) == list(range(n_core))
+    assert sizes == (20, 20)
+    # control row (core position n_core-1) must stay in the final block
+    assert int(np.nonzero(perm == n_core - 1)[0][0]) >= sum(sizes)
+
+
+def test_fused_dchain_matches_xla_path():
+    """Force the Pallas D-chain route (interpret mode) and pin the full
+    factor+solve against the XLA nested path and the dense numpy LU on a
+    real Newton matrix — the fused kernel is exact block algebra, so f64
+    agreement must be at the same error floor as the XLA path."""
+    from petlion_tpu.ops import pallas_schur
+    from petlion_tpu.solver import linsolve
+    if not pallas_schur.HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+
+    import functools
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    from petlion_tpu.ops import plan as planmod
+
+    orig = pl.pallas_call
+    try:
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        with mock.patch.object(linsolve, "_use_pallas_gj",
+                               lambda J, min_n=17: J.ndim == 2
+                               and J.shape[-1] >= min_n):
+            planmod._PLAN_CACHE.clear()
+            p = pt.petlion(pt.LCO)
+            err, plan = _newton_solve_err(p, seed=5)
+            # the forced route must actually have produced the fused type
+            assert _LAST_FAC_TYPE[0] == "SparseSchurP"
+            assert err < 1e-7, err
+    finally:
+        pl.pallas_call = orig
+        planmod._PLAN_CACHE.clear()

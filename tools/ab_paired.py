@@ -8,11 +8,11 @@ variants in ONE process and interleaves their timed blocks back-to-back, so
 every block-local comparison shares the same plateau; the median of
 per-block ratios is the drift-immune statistic.
 
-Variants are (mean-shift) x (nested core elimination) x (pallas blocks):
-  head     mean-shift on, nested j+Phi_s (core 31), pallas block inverses
-  pb0      head but block inverses via XLA scalar GJ (round-2 behavior)
+Variants (mean-shift x nested elimination x pallas blocks x pallas dchain):
+  head     mean-shift on, nested j+Phi_s (core 31), all pallas routing
+  pb0      head but ALL pallas block routing off (round-2 XLA behavior)
+  dc0      head but only the fused D-chain kernel off
   ms1_n0   head but nested elimination off (core 71)
-  ms0_n1   head but mean-shift off
 
 Usage: python tools/ab_paired.py [blocks=5] [reps=8]
 """
@@ -42,16 +42,17 @@ def main():
     from petlion_tpu.ops import structured
     from petlion_tpu.parallel.batch import batch_simulate
 
-    VARIANTS = [
-        ("head", True, "1", True),
-        ("pb0", True, "1", False),
-        ("ms1_n0", True, "0", True),
-        ("ms0_n1", False, "1", True),
+    VARIANTS = [   # (name, mean_shift, nested, pallas_blocks, pallas_dchain)
+        ("head", True, "1", True, True),
+        ("pb0", True, "1", False, False),
+        ("dc0", True, "1", True, False),
+        ("ms1_n0", True, "0", True, True),
     ]
 
-    def make_runner(mean_shift, nested, pallas_blocks):
+    def make_runner(mean_shift, nested, pallas_blocks, pallas_dchain):
         residuals._MEAN_SHIFT = mean_shift
         structured._PALLAS_BLOCKS = pallas_blocks
+        structured._PALLAS_DCHAIN = pallas_dchain
         os.environ["PETLION_NESTED"] = nested
         planmod._PLAN_CACHE.clear()
         p = pt.petlion(pt.LCO)   # fresh plan object => fresh jit entry
@@ -72,9 +73,9 @@ def main():
         return run
 
     runners = []
-    for name, ms, nested, pb in VARIANTS:
+    for name, ms, nested, pb, dc in VARIANTS:
         t0 = time.time()
-        run = make_runner(ms, nested, pb)
+        run = make_runner(ms, nested, pb, dc)
         r = run(0)   # compile
         ok = float(np.isin(np.asarray(r.flag), (0, 1, 3)).mean())
         steps = float(np.asarray(r.n_steps).mean())
