@@ -351,11 +351,15 @@ import os
 
 # A/B toggles for routing the factorization's linear algebra through the
 # VMEM-resident Pallas kernels (one HBM read+write per stack instead of
-# n scalar-GJ passes). "1" (default) = route on TPU f32; "0" = XLA only.
-# BLOCKS: the per-group/nested block inverses; DCHAIN: the fused
-# nested-elimination + core-inverse kernel (ops/pallas_schur.py).
-_PALLAS_BLOCKS = os.environ.get("PETLION_PALLAS_BLOCKS", "1") != "0"
-_PALLAS_DCHAIN = os.environ.get("PETLION_PALLAS_DCHAIN", "1") != "0"
+# n scalar-GJ passes). BLOCKS: the per-group/nested block inverses;
+# DCHAIN: the fused nested-elimination + core-inverse kernel
+# (ops/pallas_schur.py). Both default OFF until validated on real TPU
+# hardware (interpret-mode correctness is pinned by tests, but Mosaic
+# compilation of NEW kernels has bitten before — the round-2 mean-shift
+# fusion CHECK crash); flip the default after tools/ab_paired.py proves
+# them on hardware. "1" = route on TPU f32; "0" = XLA only.
+_PALLAS_BLOCKS = os.environ.get("PETLION_PALLAS_BLOCKS", "0") != "0"
+_PALLAS_DCHAIN = os.environ.get("PETLION_PALLAS_DCHAIN", "0") != "0"
 
 
 def _gj_inverse_routed(As, min_n: int = 10):

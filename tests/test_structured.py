@@ -135,12 +135,15 @@ def test_fused_dchain_matches_xla_path():
 
     from petlion_tpu.ops import plan as planmod
 
+    from petlion_tpu.ops import structured
+
     orig = pl.pallas_call
     try:
         pl.pallas_call = functools.partial(orig, interpret=True)
         with mock.patch.object(linsolve, "_use_pallas_gj",
                                lambda J, min_n=17: J.ndim == 2
-                               and J.shape[-1] >= min_n):
+                               and J.shape[-1] >= min_n), \
+             mock.patch.object(structured, "_PALLAS_DCHAIN", True):
             planmod._PLAN_CACHE.clear()
             p = pt.petlion(pt.LCO)
             err, plan = _newton_solve_err(p, seed=5)
