@@ -31,6 +31,8 @@ Prints ONE JSON line.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -38,9 +40,32 @@ import numpy as np
 REFERENCE_RATE = 1000.0 / 2.616   # discharges/s, reference median
 
 
+def backend_is_live(timeout_s: float = 300.0) -> bool:
+    """Probe the default JAX backend in a SUBPROCESS with a timeout.
+
+    The remote-TPU (axon) tunnel has been observed to hang indefinitely in
+    its pool-claim leg when down — an in-process `jax.devices()` would then
+    hang this benchmark forever and the driver would record nothing. A dead
+    probe → fall back to CPU so the one JSON line is always emitted."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     jax.config.update("jax_enable_x64", False)  # f32: TPU-native dtype
+    if not backend_is_live():
+        # env JAX_PLATFORMS cannot override the sitecustomize-forced axon
+        # platform; the config update after import can.
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({"warning": "TPU backend probe timed out; "
+                          "falling back to CPU"}), file=sys.stderr)
     import petlion_tpu as pt
     from petlion_tpu.parallel.batch import batch_simulate
 

@@ -45,6 +45,11 @@ def _attempts(r):
 def main():
     import jax
     jax.config.update("jax_enable_x64", False)
+    from bench import backend_is_live
+    if not backend_is_live():
+        jax.config.update("jax_platforms", "cpu")
+        print(json.dumps({"warning": "TPU backend probe timed out; "
+                          "falling back to CPU"}), flush=True)
     import petlion_tpu as pt
     from petlion_tpu.parallel.batch import batch_simulate, batch_cost_analysis
     from petlion_tpu.protocols import batch_protocol, simulate_protocol

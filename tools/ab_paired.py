@@ -36,6 +36,11 @@ def main():
 
     import jax
     jax.config.update("jax_enable_x64", False)
+    from bench import backend_is_live
+    if not backend_is_live():
+        print(json.dumps({"error": "TPU backend probe timed out; paired "
+                          "A/B is only meaningful on real hardware"}))
+        sys.exit(1)
     import petlion_tpu as pt
     import petlion_tpu.physics.residuals as residuals
     from petlion_tpu.ops import plan as planmod
