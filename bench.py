@@ -39,6 +39,36 @@ import numpy as np
 
 REFERENCE_RATE = 1000.0 / 2.616   # discharges/s, reference median
 
+# the θ leaves every harness perturbs (GITT-style ±5% sweep)
+SWEPT_THETA = {"D_sp": 1e-14, "D_sn": 3.9e-14,
+               "k_p": 2.334e-11, "k_n": 5.031e-11}
+
+
+def fresh_theta(rng, B):
+    """±5% perturbed values for every swept θ leaf — fresh per execution
+    (the tunnel memoizes identical (program, inputs) pairs)."""
+    return {k: v * (1 + 0.05 * rng.standard_normal(B))
+            for k, v in SWEPT_THETA.items()}
+
+
+def make_runner(p, B, mesh=None):
+    """The canonical timed program, shared by every benchmark harness
+    (bench_suite, bench_multichip, tools/*): one batched LCO 1C discharge
+    (tf=3.9e3, outputs t/V) with fresh-random θ per call. Harnesses must
+    use this one definition so their rates compare the same program."""
+    import jax
+    from petlion_tpu.parallel.batch import batch_simulate
+
+    def run(seed):
+        rng = np.random.default_rng(seed)
+        res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
+                             theta_batch=fresh_theta(rng, B),
+                             mesh=mesh, outputs=("t", "V"))
+        jax.block_until_ready(res.flag)
+        return res
+
+    return run
+
 
 def backend_is_live(timeout_s: float = 300.0) -> bool:
     """Probe the default JAX backend in a SUBPROCESS with a timeout.
@@ -67,7 +97,6 @@ def main():
         print(json.dumps({"warning": "TPU backend probe timed out; "
                           "falling back to CPU"}), file=sys.stderr)
     import petlion_tpu as pt
-    from petlion_tpu.parallel.batch import batch_simulate
 
     platform = jax.devices()[0].platform
     n_dev = len(jax.devices())
@@ -80,20 +109,7 @@ def main():
     # outputs minimal: the bench measures solver throughput, not IO
 
     B = 1024 if platform != "cpu" else 32
-
-    def run(seed):
-        # fresh-random values for every swept θ leaf, every single execution
-        rng = np.random.default_rng(seed)
-        tb = {
-            "D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B)),
-            "D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)),
-            "k_p": 2.334e-11 * (1 + 0.05 * rng.standard_normal(B)),
-            "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B)),
-        }
-        res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                             outputs=("t", "V"))
-        jax.block_until_ready(res.flag)
-        return res
+    run = make_runner(p, B)
 
     # compile
     t0 = time.time()

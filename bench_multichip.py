@@ -26,19 +26,12 @@ import time
 import numpy as np
 
 
-def run_batch(p, B, mesh, seed, tf=3.9e3):
-    """One batched discharge with fresh-random θ leaves (memoization-proof)."""
-    import jax
-    from petlion_tpu.parallel.batch import batch_simulate
-    r = np.random.default_rng(seed)
-    tb = {"D_sp": 1e-14 * (1 + 0.05 * r.standard_normal(B)),
-          "D_sn": 3.9e-14 * (1 + 0.05 * r.standard_normal(B)),
-          "k_p": 2.334e-11 * (1 + 0.05 * r.standard_normal(B)),
-          "k_n": 5.031e-11 * (1 + 0.05 * r.standard_normal(B))}
-    res = batch_simulate(p, tf, I=-1.0, SOC=1.0, theta_batch=tb,
-                         mesh=mesh, outputs=("t", "V"))
-    jax.block_until_ready(res.flag)
-    return res
+def run_batch(p, B, mesh, seed):
+    """One batched discharge with fresh-random θ leaves (memoization-proof).
+    The program is bench.make_runner's canonical one — all harnesses share
+    that single definition."""
+    from bench import make_runner
+    return make_runner(p, B, mesh)(seed)
 
 
 def measure(p, B, mesh, tag, reps=10, keep_results=False):

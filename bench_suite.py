@@ -28,13 +28,9 @@ import time
 
 import numpy as np
 
-# ±5% lognormal-ish spread on key transport/kinetic parameters (GITT-style)
-_SWEPT = {"D_sp": 1e-14, "D_sn": 3.9e-14, "k_p": 2.334e-11, "k_n": 5.031e-11}
-
-
-def _fresh_theta(rng, B):
-    return {k: v * (1 + 0.05 * rng.standard_normal(B))
-            for k, v in _SWEPT.items()}
+# ±5% spread on key transport/kinetic θ leaves (GITT-style): the canonical
+# definition shared by every harness lives in bench.py
+from bench import fresh_theta as _fresh_theta, make_runner  # noqa: E402
 
 
 def _attempts(r):
@@ -51,7 +47,7 @@ def main():
         print(json.dumps({"warning": "TPU backend probe timed out; "
                           "falling back to CPU"}), flush=True)
     import petlion_tpu as pt
-    from petlion_tpu.parallel.batch import batch_simulate, batch_cost_analysis
+    from petlion_tpu.parallel.batch import batch_cost_analysis
     from petlion_tpu.protocols import batch_protocol, simulate_protocol
 
     platform = jax.devices()[0].platform
@@ -71,12 +67,10 @@ def main():
     p = pt.petlion(pt.LCO)
     p.opts = p.opts.replace(max_save=2, maxiters=500, **f32tol)
 
+    _runner1 = make_runner(p, B)
+
     def run1():
-        r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
-                           theta_batch=_fresh_theta(rng, B),
-                           outputs=("t", "V"))
-        jax.block_until_ready(r.flag)
-        return r
+        return _runner1(int(rng.integers(1 << 30)))
 
     run1()                       # compile + tunnel warmup
     run1()
@@ -194,19 +188,15 @@ def _config5(p, rng):
     cost-analysis AOT compile), and does not recover within 14 back-to-back
     executions — interleaving would measure that dev-tunnel artifact, not
     the sweep throughput."""
-    import jax
     import numpy as np
-    from petlion_tpu.parallel.batch import batch_simulate
     total, chunk = 10240, 1024
+    runner = make_runner(p, chunk)   # same canonical program as config 1
     kept = []
     t0 = time.time()
     for c in range(total // chunk):
-        r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0,
-                           theta_batch=_fresh_theta(rng, chunk),
-                           outputs=("t", "V"))
-        jax.block_until_ready(r.flag)
-        kept.append(r)   # device→host fetches cost ~0.5 s through the
-        # tunnel and knock it out of steady state — fetch after the clock
+        kept.append(runner(int(rng.integers(1 << 30))))
+        # device→host fetches cost ~0.5 s through the tunnel and knock it
+        # out of steady state — fetch after the clock
     wall = time.time() - t0
     done = sum(int(np.isin(np.asarray(r.flag), (0, 1, 3)).sum()) for r in kept)
     att5 = sum(_attempts(r) for r in kept)

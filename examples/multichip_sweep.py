@@ -4,18 +4,21 @@ The reference achieves parameter sweeps by re-running `simulate` in a user
 loop (examples/updating_parameters.ipynb cell 4); here the whole fleet is
 ONE jitted program sharded over every visible chip — cells never couple, so
 the hot loop contains zero collectives and DP scaling is linear (SURVEY
-§2.3). Runs unchanged on a real multi-chip TPU slice; this example
-bootstraps an 8-virtual-device CPU mesh so it is runnable anywhere:
+§2.3). By default this bootstraps an 8-virtual-device CPU mesh so it is
+runnable anywhere; on a real multi-chip TPU slice run it with
+PETLION_REAL_TPU=1 and the mesh picks up the physical chips instead:
 
-    python examples/multichip_sweep.py
+    python examples/multichip_sweep.py                  # 8 virtual CPU devices
+    PETLION_REAL_TPU=1 python examples/multichip_sweep.py   # real slice
 """
 import os
 
-# 8 virtual devices BEFORE jax import (on a real v5e-8, delete these lines
-# and the mesh picks up the 8 physical chips)
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
-from _common import setup; setup(cpu=True, x64=False)
+_REAL = os.environ.get("PETLION_REAL_TPU", "0") != "0"
+if not _REAL:
+    # 8 virtual devices BEFORE jax import
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+from _common import setup; setup(cpu=not _REAL, x64=False)
 
 import jax
 import numpy as np

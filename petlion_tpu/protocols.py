@@ -75,7 +75,8 @@ def simulate_protocol(p: Model, segment_dicts, *, SOC: Optional[float] = None,
             tspan=(t_offset, t_offset + float(res.t_final)),
             flag=flag, exit_reason=exit_reason_string(flag),
             n_steps=int(res.n_steps), n_rejected=int(res.n_rejected),
-            init_converged=bool(res.init_converged))
+            init_converged=bool(res.init_converged),
+            truncated=bool(res.truncated))
         # public Y_final carries absolute T [K] (reference-interchangeable);
         # the internal T-offset state is kept alongside for lossless
         # continuation (same convention as sim.simulate)
@@ -86,6 +87,12 @@ def simulate_protocol(p: Model, segment_dicts, *, SOC: Optional[float] = None,
             y_final_ext[sl_T] += float(p.theta["T_amb"])
         sol.append_run(host_bufs, n_saved, t_offset, meta,
                        y_final_ext, res.yp_final, res.soc_final)
+        if meta["truncated"]:
+            import warnings
+            warnings.warn(
+                f"protocol segment {k} accepted {meta['n_steps']} steps but "
+                f"max_save={opts.max_save} output slots: the recorded tail "
+                f"was overwritten (raise max_save= to keep everything)")
         t_offset += float(res.t_final) + 1e-12
     sol._Y_final_int = np.asarray(results[-1].y_final)
     sol._outputs = opts.outputs

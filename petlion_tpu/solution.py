@@ -67,7 +67,9 @@ def reset_t(sol: "Solution") -> "Solution":
     """Shift the saved time axis so it starts at 0 (reference `reset_t!`,
     save_outputs.jl:57-58). In-place, returns the solution."""
     if "t" in sol.arrays and len(sol.arrays["t"]):
-        t0 = sol.arrays["t"][0]
+        # plain float: np.float32 - float stays np.float32 under NumPy-2
+        # promotion and would break the JSON metadata in save()
+        t0 = float(sol.arrays["t"][0])
         sol.arrays["t"] = sol.arrays["t"] - t0
         for i, r in enumerate(sol.results):
             sol.results[i] = dataclasses.replace(

@@ -174,7 +174,9 @@ def test_multichip_measurement_logic(p):
     8-device CPU mesh (round-3 item: the scaling claim is one command away
     when real multi-chip hardware appears — no real-hardware claims made).
     Asserts: full completion, even sharding across devices, and per-device
-    work balance within 1% (the statistics the efficiency number divides)."""
+    work balance within 10% — the spread is sampling noise of 8 ±5%-perturbed
+    cells per device, not sharding skew (the statistics the efficiency
+    number divides)."""
     import bench_multichip as bm
     from petlion_tpu.parallel.batch import make_cell_mesh
 
@@ -192,9 +194,9 @@ def test_multichip_measurement_logic(p):
     # the batch really is sharded over all 8 devices
     shards = kept[0].flag.sharding
     assert len(shards.device_set) == n_dev
-    # per-device work balance: mean BDF steps per device shard within 1%
+    # per-device work balance: mean BDF steps per device shard within 10%
     steps = np.asarray(kept[0].n_steps).reshape(n_dev, pdb)
     per_dev = steps.mean(axis=1)
-    assert per_dev.max() / per_dev.min() < 1.01 + 0.2, per_dev
+    assert per_dev.max() / per_dev.min() < 1.10, per_dev
     # (CPU wall-clock is shared across virtual devices, so rates are not
     # asserted — on real hardware `bench_multichip.py` emits efficiency)

@@ -23,22 +23,12 @@ import numpy as np
 import jax
 jax.config.update("jax_enable_x64", False)
 import petlion_tpu as pt
-from petlion_tpu.parallel.batch import batch_simulate
+from bench import make_runner   # the canonical timed program (run from repo root)
 
 p = pt.petlion(pt.LCO)
 p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2, maxiters=500)
 B = 1024
-
-def run(seed):
-    rng = np.random.default_rng(seed)
-    tb = {"D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B)),
-          "D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)),
-          "k_p": 2.334e-11 * (1 + 0.05 * rng.standard_normal(B)),
-          "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B))}
-    res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                         outputs=("t", "V"))
-    jax.block_until_ready(res.flag)
-    return res
+run = make_runner(p, B)
 
 t0 = time.time(); run(0); compile_s = time.time() - t0
 warm = []
@@ -70,13 +60,20 @@ def main():
     for k in range(n_pairs):
         for ms in ("1", "0"):
             env = dict(os.environ, PETLION_MEANSHIFT=ms)
-            out = subprocess.run([sys.executable, "-c", CHILD], env=env,
-                                 capture_output=True, text=True, timeout=900)
-            line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
             try:
-                row = json.loads(line)
-            except Exception:
-                row = {"meanshift": ms, "error": out.stderr[-500:]}
+                out = subprocess.run([sys.executable, "-c", CHILD], env=env,
+                                     capture_output=True, text=True,
+                                     timeout=900)
+                line = (out.stdout.strip().splitlines()[-1]
+                        if out.stdout else "")
+                try:
+                    row = json.loads(line)
+                except Exception:
+                    row = {"meanshift": ms, "error": out.stderr[-500:]}
+            except subprocess.TimeoutExpired:
+                # dead-tunnel pool-claim hang: record and keep going
+                row = {"meanshift": ms, "error": "timeout (900 s): backend "
+                       "hang — is the TPU tunnel up?"}
             row["pair"] = k
             rows.append(row)
             print(json.dumps(row), flush=True)

@@ -45,7 +45,6 @@ def main():
     import petlion_tpu.physics.residuals as residuals
     from petlion_tpu.ops import plan as planmod
     from petlion_tpu.ops import structured
-    from petlion_tpu.parallel.batch import batch_simulate
 
     VARIANTS = [   # (name, mean_shift, nested, pallas_blocks, pallas_dchain)
         ("head", True, "1", True, True),
@@ -54,7 +53,9 @@ def main():
         ("ms1_n0", True, "0", True, True),
     ]
 
-    def make_runner(mean_shift, nested, pallas_blocks, pallas_dchain):
+    from bench import make_runner
+
+    def make_variant_runner(mean_shift, nested, pallas_blocks, pallas_dchain):
         residuals._MEAN_SHIFT = mean_shift
         structured._PALLAS_BLOCKS = pallas_blocks
         structured._PALLAS_DCHAIN = pallas_dchain
@@ -63,24 +64,12 @@ def main():
         p = pt.petlion(pt.LCO)   # fresh plan object => fresh jit entry
         p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
                                 maxiters=500)
-
-        def run(seed):
-            rng = np.random.default_rng(seed)
-            tb = {"D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B)),
-                  "D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)),
-                  "k_p": 2.334e-11 * (1 + 0.05 * rng.standard_normal(B)),
-                  "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B))}
-            res = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                                 outputs=("t", "V"))
-            jax.block_until_ready(res.flag)
-            return res
-
-        return run
+        return make_runner(p, B)   # the canonical timed program (bench.py)
 
     runners = []
     for name, ms, nested, pb, dc in VARIANTS:
         t0 = time.time()
-        run = make_runner(ms, nested, pb, dc)
+        run = make_variant_runner(ms, nested, pb, dc)
         r = run(0)   # compile
         ok = float(np.isin(np.asarray(r.flag), (0, 1, 3)).mean())
         steps = float(np.asarray(r.n_steps).mean())

@@ -34,29 +34,25 @@ REF_MS = 2.616
 def main():
     import jax
     jax.config.update("jax_enable_x64", False)
-    from bench import backend_is_live
+    from bench import backend_is_live, make_runner
     if not backend_is_live():
         jax.config.update("jax_platforms", "cpu")
         print(json.dumps({"warning": "TPU backend probe timed out; "
                           "falling back to CPU"}), flush=True)
     import petlion_tpu as pt
-    from petlion_tpu.parallel.batch import batch_simulate
 
     platform = jax.devices()[0].platform
     p = pt.petlion(pt.LCO)
     p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
                             maxiters=500)
 
+    _runners = {}
+
     def run(B, seed):
-        rng = np.random.default_rng(seed)
-        tb = {"D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B)),
-              "D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)),
-              "k_p": 2.334e-11 * (1 + 0.05 * rng.standard_normal(B)),
-              "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B))}
-        r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                           outputs=("t", "V"))
-        jax.block_until_ready(r.flag)
-        return r
+        # canonical program (bench.make_runner), one runner per batch size
+        if B not in _runners:
+            _runners[B] = make_runner(p, B)
+        return _runners[B](seed)
 
     # ---- B=1 latency ------------------------------------------------------
     reps = 30 if platform != "cpu" else 5

@@ -29,7 +29,6 @@ def main():
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", False)
     import petlion_tpu as pt
-    from petlion_tpu.parallel.batch import batch_simulate
 
     @jax.jit
     def canary(x):
@@ -50,16 +49,12 @@ def main():
     p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
                             maxiters=500)
 
+    from bench import make_runner
+    _runner = make_runner(p, B)   # the canonical timed program (bench.py)
+
     def run_batch(seed):
-        rng = np.random.default_rng(seed)
-        tb = {"D_sp": 1e-14 * (1 + 0.05 * rng.standard_normal(B)),
-              "D_sn": 3.9e-14 * (1 + 0.05 * rng.standard_normal(B)),
-              "k_p": 2.334e-11 * (1 + 0.05 * rng.standard_normal(B)),
-              "k_n": 5.031e-11 * (1 + 0.05 * rng.standard_normal(B))}
         t0 = time.time()
-        r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                           outputs=("t", "V"))
-        jax.block_until_ready(r.flag)
+        _runner(seed)
         return time.time() - t0
 
     # compile both

@@ -50,7 +50,6 @@ def main():
     import jax.numpy as jnp
     import petlion_tpu as pt
     from petlion_tpu.ops.plan import get_plan
-    from petlion_tpu.parallel.batch import batch_simulate
     from petlion_tpu.physics.initial_guess import initial_guess
     from petlion_tpu.solver import control as ctrl
     from petlion_tpu.solver.newton import consistent_init
@@ -183,15 +182,8 @@ def main():
         print(json.dumps(out), flush=True)
         return
 
-    def k_run(seed):
-        rng = np.random.default_rng(seed)
-        tb = {k: v * (1 + 0.05 * rng.standard_normal(B))
-              for k, v in (("D_sp", 1e-14), ("D_sn", 3.9e-14),
-                           ("k_p", 2.334e-11), ("k_n", 5.031e-11))}
-        r = batch_simulate(p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                           outputs=("t", "V"))
-        jax.block_until_ready(r.flag)
-        return r
+    from bench import make_runner
+    k_run = make_runner(p, B)   # the canonical timed program (bench.py)
 
     k_run(0)
     for i in range(10):
