@@ -46,17 +46,26 @@ def _bdot(a, b):
         preferred_element_type=a.dtype)
 
 
-def _gj_aug(M, n):
-    """Unrolled pivot-free GJ on (..., n, 2n) augmented stacks — the same
-    update order as linsolve.gj_inverse (callers equilibrate first)."""
+def _gj_pair(M, n):
+    """Unrolled pivot-free GJ — same update order as linsolve.gj_inverse
+    (callers equilibrate first), but run on TWO lockstep (..., n, n) stacks
+    (the matrix and the inverse accumulator) instead of one augmented
+    (..., n, 2n) matrix: Mosaic rejects minor-dim concatenates on shapes
+    whose trailing dims are not tile-aligned ("result/input offset mismatch
+    on non-concat dimension" for 20→40). The elementwise updates are
+    bit-identical to the augmented form."""
+    E = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     for k in range(n):
         piv = M[..., k, k]
-        row = M[..., k, :] / piv[..., None]
+        rowM = M[..., k, :] / piv[..., None]
+        rowE = E[..., k, :] / piv[..., None]
         col = M[..., :, k]
-        M = M - col[..., :, None] * row[..., None, :]
-        M = jnp.where(rows_i == k, row[..., None, :], M)
-    return M[..., :, n:]
+        M = M - col[..., :, None] * rowM[..., None, :]
+        E = E - col[..., :, None] * rowE[..., None, :]
+        M = jnp.where(rows_i == k, rowM[..., None, :], M)
+        E = jnp.where(rows_i == k, rowE[..., None, :], E)
+    return E
 
 
 def _inv_equil(A, n):
@@ -66,9 +75,7 @@ def _inv_equil(A, n):
     As = A / colA[..., None, :]
     rowA = jnp.maximum(jnp.max(jnp.abs(As), axis=-1), 1e-30)
     As = As / rowA[..., :, None]
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype),
-                           As.shape[:-2] + (n, n))
-    inv_s = _gj_aug(jnp.concatenate([As, eye], axis=-1), n)
+    inv_s = _gj_pair(As, n)
     return inv_s / colA[..., :, None] / rowA[..., None, :]
 
 

@@ -300,7 +300,7 @@ def simulate(p: Model,
              sol: Optional[Solution] = None,
              initial_states=None,
              SOC: Optional[float] = None,
-             fast_solver: bool = False,
+             fast_solver: bool = True,
              tstops=None,
              tdiscon=None,
              dtype=None,
