@@ -13,24 +13,31 @@ Measurement methodology (hard-won; the remote-TPU tunnel breaks naive
 timing in BOTH directions — full notes in CLAUDE.md):
   * fresh-random θ for every swept leaf, every execution (identical
     (program, inputs) pairs can be memoized → phantom-fast);
-  * `block_until_ready` does NOT actually block through the tunnel
-    (measured: a 1-TFLOP program "completes" in 0.1 ms; the result fetch
-    blocks) — but executions of one program serialize at the tunnel's
-    queue depth, so CUMULATIVE wall over ≥15 reps is correct to ±1 rep;
-    never trust per-call timers;
-  * results stay on device during timed blocks (one device→host fetch
-    costs ~0.5 s and knocks the tunnel out of its steady-state path);
-  * the tunnel's throughput drifts between plateaus over minutes
-    (measured round 3: the same program + same step counts spans
-    6.7k–13k/s across sessions, and a process that interleaves several
-    compiled programs degrades ~10x until restarted) — so this benchmark
-    MUST run in a fresh single-program process, and the headline is the
-    MEDIAN over many blocks, all block rates emitted for audit.
+  * results stay on device during timed blocks; CUMULATIVE wall over many
+    reps, never per-call timers;
+  * ONE program per timed process. Round-4 calibration
+    (measurements_r04/canary_cal*.log): a single device→host fetch inside
+    a timing session knocks THAT process's batch program from ~13,000/s to
+    ~1,100/s permanently (the canary program in the same process stays
+    fast — degradation is program-specific, NOT proportional), and
+    fetchless canary submissions never block (no backpressure) while their
+    queued work drains into later timed blocks. So the tunnel-speed canary
+    runs in SEPARATE fresh processes before and after the batch session.
+  * the tunnel drifts between throughput plateaus across sessions
+    (measured: the same program + same step counts spans 5.8k-14k/s across
+    days). The before/after canary children are the covariate that lets a
+    reviewer attribute a headline shift to the tunnel (canary moved too)
+    vs the code (canary steady).
 
-Prints ONE JSON line.
+Structure: this file is a three-process orchestrator —
+  python bench.py                 orchestrate: canary, batch, canary; merge
+  python bench.py --batch-child   the single-program timed session
+  python bench.py --canary-child  fixed pure-MXU probe (known FLOPs)
+Prints ONE JSON line (the merged record) on the last stdout line.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -70,38 +77,6 @@ def make_runner(p, B, mesh=None):
     return run
 
 
-CANARY_N, CANARY_ITERS = 2048, 60   # 2*60*2048^3 ~ 1.03 TFLOP per call
-
-
-def make_canary():
-    """Fixed pure-MXU reference program (fresh inputs per call — the tunnel
-    memoizes identical (program, inputs) pairs). Its per-call TFLOP/s is the
-    tunnel-speed covariate: if the tunnel drifts to a slow plateau, the
-    canary slows with it (proportional degradation verified on hardware,
-    tools/canary_probe.py round-4 run), so block rates can be audited
-    against the canary instead of trusted blindly."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def canary(x):
-        return jax.lax.fori_loop(
-            0, CANARY_ITERS, lambda i, a: jnp.tanh(a @ x), x)
-
-    flops = 2.0 * CANARY_ITERS * CANARY_N ** 3
-
-    def run_canary(seed):
-        rng = np.random.default_rng(seed)
-        x = jnp.asarray(rng.standard_normal((CANARY_N, CANARY_N)) * 0.01,
-                        jnp.float32)
-        jax.block_until_ready(x)
-        t0 = time.time()
-        jax.block_until_ready(canary(x))
-        return flops / (time.time() - t0) / 1e12
-
-    return run_canary
-
-
 def backend_is_live(timeout_s: float = 300.0) -> bool:
     """Probe the default JAX backend in a SUBPROCESS with a timeout.
 
@@ -119,7 +94,50 @@ def backend_is_live(timeout_s: float = 300.0) -> bool:
         return False
 
 
-def main():
+# ------------------------------------------------------------------ canary
+
+CANARY_N, CANARY_ITERS = 2048, 60   # 2*60*2048^3 ~ 1.03 TFLOP per call
+
+
+def canary_child():
+    """Fixed pure-MXU probe in its own fresh process: K jitted calls with
+    fresh inputs, then ONE scalar fetch to force a true sync (safe here —
+    this process exits; a fetch inside a timing process poisons it)."""
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", False)
+
+    @jax.jit
+    def canary(x):
+        return jax.lax.fori_loop(
+            0, CANARY_ITERS, lambda i, a: jnp.tanh(a @ x), x)[0, 0]
+
+    K = 16
+    flops = 2.0 * CANARY_ITERS * CANARY_N ** 3
+
+    def one(seed):
+        rng = np.random.default_rng(seed)
+        xs = [jnp.asarray(rng.standard_normal((CANARY_N, CANARY_N)) * 0.01,
+                          jnp.float32) for _ in range(K)]
+        for x in xs:
+            jax.block_until_ready(x)
+        t0 = time.time()
+        outs = [canary(x) for x in xs]
+        float(outs[-1])
+        return K * flops / (time.time() - t0) / 1e12
+
+    t0 = time.time()
+    one(0)   # compile + first (slow) sync
+    compile_s = time.time() - t0
+    rates = [one(1 + i) for i in range(3)]
+    print(json.dumps({"canary_tflops": round(max(rates), 1),
+                      "canary_tflops_all": [round(r, 1) for r in rates],
+                      "compile_s": round(compile_s, 1)}))
+
+
+# ------------------------------------------------------------- batch child
+
+def batch_child():
     import jax
     jax.config.update("jax_enable_x64", False)  # f32: TPU-native dtype
     if not backend_is_live():
@@ -140,23 +158,14 @@ def main():
                             maxiters=500)
     # outputs minimal: the bench measures solver throughput, not IO
 
-    B = 1024 if platform != "cpu" else 32
+    on_tpu = platform != "cpu"
+    B = 1024 if on_tpu else 32
     run = make_runner(p, B)
 
     # compile
     t0 = time.time()
     run(0)
     compile_s = time.time() - t0
-
-    # tunnel-speed canary (pure-MXU, known FLOPs): one call per measured
-    # block is the covariate that lets a reviewer ATTRIBUTE block-rate
-    # drift to the tunnel (canary slow too) vs the code (canary steady).
-    # Round-3's 12% bench regression on perf-neutral code could not be
-    # attributed for lack of exactly this.
-    on_tpu = platform != "cpu"
-    run_canary = make_canary() if on_tpu else None
-    if on_tpu:
-        run_canary(0)   # compile
 
     # warm until the per-rep time STABILIZES: last-3 spread < 10%. (The
     # round-3 rule — "best-of-last-3 stopped improving" — also fires while
@@ -175,39 +184,27 @@ def main():
                 break
 
     # measured phase: cumulative wall per block of fresh-input reps, over
-    # MANY blocks (the plateau-drift defense); headline = median over
-    # canary-clean blocks
-    blocks = 6 if on_tpu else 1
+    # MANY blocks (the plateau-drift defense); headline = median block.
+    # NOTHING ELSE runs in this process and nothing is fetched until all
+    # blocks are timed (see module docstring).
+    blocks = 8 if on_tpu else 1
     reps = 15 if on_tpu else 3
     kept = []
     block_walls = []
-    block_canary = []
     for b in range(blocks):
-        if on_tpu:
-            block_canary.append(run_canary(50 + b))
         t0 = time.time()
         for i in range(reps):
             r = run(10_000 + b * reps + i)
             kept.append((r.flag, r.n_steps))
         block_walls.append(time.time() - t0)
+    # device->host fetches only AFTER the clock stopped
     ok_total = sum(int(np.isin(np.asarray(f), (0, 1, 3)).sum())
                    for f, _ in kept)
     steps_total = sum(int(np.asarray(s).sum()) for _, s in kept)
 
     block_rates = [reps * B / w for w in block_walls]
-    # canary-based block screening: a block whose canary ran >20% off the
-    # session median saw a different tunnel plateau — exclude it from the
-    # headline median (kept in the audit trail), flag drift if any occurred
-    if on_tpu and block_canary:
-        can_med = float(np.median(block_canary))
-        clean = [i for i, c in enumerate(block_canary)
-                 if abs(c - can_med) <= 0.2 * can_med]
-    else:
-        clean = list(range(len(block_rates)))
-    drift_flag = (len(clean) < len(block_rates)) or not warm_stable
-    headline_blocks = clean if len(clean) >= 3 else list(
-        range(len(block_rates)))
-    rate = float(np.median([block_rates[i] for i in headline_blocks]))
+    rate = float(np.median(block_rates))
+    spread = max(block_rates) / min(block_rates)
     out = {
         "metric": "batched_p2d_1c_discharges_per_s",
         "value": round(rate, 2),
@@ -216,11 +213,10 @@ def main():
         "batch": B,
         "reps": reps,
         "blocks": blocks,
-        "headline": "median_canary_clean_block",
+        "headline": "median_block",
         "block_rates_per_s": [round(r, 1) for r in block_rates],
-        "block_canary_tflops": [round(c, 2) for c in block_canary],
-        "canary_clean_blocks": clean,
-        "drift_flag": drift_flag,
+        "block_spread": round(spread, 2),
+        "drift_flag": bool(spread > 1.25 or not warm_stable),
         "warmup_stable": warm_stable,
         "best_block_rate_per_s": round(max(block_rates), 1),
         "platform": platform,
@@ -233,6 +229,59 @@ def main():
         "mean_steps": round(steps_total / (blocks * reps * B), 1),
     }
     print(json.dumps(out))
+
+
+# ------------------------------------------------------------ orchestrator
+
+def _last_json(text):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def _child(flag, timeout):
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), flag],
+                           capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return {"error": f"{flag} timed out after {timeout}s"}
+    out = _last_json(r.stdout)
+    if r.returncode != 0 or out is None:
+        return {"error": (r.stdout[-1200:] + r.stderr[-1200:])}
+    return out
+
+
+def main():
+    if "--batch-child" in sys.argv:
+        return batch_child()
+    if "--canary-child" in sys.argv:
+        return canary_child()
+
+    # children strictly serialize (ONE process may hold the TPU tunnel);
+    # the orchestrator itself never imports jax
+    pre = _child("--canary-child", 900)
+    batch = _child("--batch-child", 3600)
+    post = _child("--canary-child", 900)
+
+    if "error" in batch:
+        print(json.dumps({"metric": "batched_p2d_1c_discharges_per_s",
+                          "value": 0.0, "unit": "discharges/s",
+                          "vs_baseline": 0.0, "error": batch["error"]}))
+        return
+
+    batch["canary_pre_tflops"] = pre.get("canary_tflops")
+    batch["canary_post_tflops"] = post.get("canary_tflops")
+    cp, cq = pre.get("canary_tflops"), post.get("canary_tflops")
+    if cp and cq and min(cp, cq) > 0:
+        batch["canary_session_ratio"] = round(cq / cp, 3)
+        if max(cp / cq, cq / cp) > 1.2:
+            batch["drift_flag"] = True
+    print(json.dumps(batch))
 
 
 if __name__ == "__main__":

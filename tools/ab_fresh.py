@@ -82,6 +82,12 @@ def run_child(args, extra_env=None, timeout=1500):
 # ---------------------------------------------------------------- children
 
 def child_canary():
+    """Fresh-process pure-MXU probe. `block_until_ready` does NOT block
+    through the tunnel and fetchless submissions never backpressure
+    (measurements_r04/canary_cal2.log) — so each timing submits K calls and
+    fetches ONE scalar to force a true sync. Fetching is safe ONLY because
+    this process exits afterwards: a fetch inside a timing process knocks
+    its batch program ~10x off the fast path permanently."""
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", False)
@@ -89,29 +95,27 @@ def child_canary():
     @jax.jit
     def canary(x):
         return jax.lax.fori_loop(
-            0, CANARY_ITERS, lambda i, a: jnp.tanh(a @ x), x)
+            0, CANARY_ITERS, lambda i, a: jnp.tanh(a @ x), x)[0, 0]
+
+    K = 16
+    flops = 2.0 * CANARY_ITERS * CANARY_N ** 3
 
     def one(seed):
         rng = np.random.default_rng(seed)
-        x = jnp.asarray(rng.standard_normal((CANARY_N, CANARY_N)) * 0.01,
-                        jnp.float32)
-        jax.block_until_ready(x)
+        xs = [jnp.asarray(rng.standard_normal((CANARY_N, CANARY_N)) * 0.01,
+                          jnp.float32) for _ in range(K)]
+        for x in xs:
+            jax.block_until_ready(x)
         t0 = time.time()
-        jax.block_until_ready(canary(x))
-        return time.time() - t0
+        outs = [canary(x) for x in xs]
+        float(outs[-1])
+        return K * flops / (time.time() - t0) / 1e12
 
     t0 = time.time()
-    one(0)
+    one(0)   # compile + first (slow) sync
     compile_s = time.time() - t0
-    for w in range(3):
-        one(1 + w)
-    t0 = time.time()
-    n = 5
-    for i in range(n):
-        one(10 + i)
-    wall = time.time() - t0
-    flops = 2.0 * CANARY_ITERS * CANARY_N ** 3
-    print(json.dumps({"canary_tflops": round(n * flops / wall / 1e12, 3),
+    rates = [one(1 + i) for i in range(3)]
+    print(json.dumps({"canary_tflops": round(max(rates), 1),
                       "compile_s": round(compile_s, 1)}))
 
 
@@ -129,13 +133,14 @@ def child_variant(variant, reps, batch, seed0):
     run = make_runner(p, batch)
 
     t0 = time.time()
-    r = run(seed0)
+    r0 = run(seed0)
     compile_s = time.time() - t0
-    ok = float(np.isin(np.asarray(r.flag), (0, 1, 3)).mean())
-    steps = float(np.asarray(r.n_steps).mean())
 
     # warm until the last-3 spread is <10% (not merely "stopped improving" —
-    # that also fires while the tunnel degrades); min 6, max 15
+    # that also fires while the tunnel degrades); min 6, max 15.
+    # NO device->host fetch happens anywhere before or inside the timed
+    # block: a single fetch knocks this process's batch program ~10x off
+    # the tunnel fast path permanently (measurements_r04/canary_cal*.log).
     warm = []
     for i in range(15):
         t0 = time.time()
@@ -147,11 +152,14 @@ def child_variant(variant, reps, batch, seed0):
                 break
 
     t0 = time.time()
-    kept_steps = 0
+    kept = []
     for i in range(reps):
         r = run(seed0 + 100 + i)
-        kept_steps += int(np.asarray(r.n_steps).sum())
+        kept.append((r.flag, r.n_steps))
     wall = time.time() - t0
+    # fetches only after the clock stopped
+    ok = float(np.isin(np.asarray(r0.flag), (0, 1, 3)).mean())
+    kept_steps = sum(int(np.asarray(s).sum()) for _, s in kept)
     print(json.dumps({
         "variant": variant, "rate": round(reps * batch / wall, 1),
         "compile_s": round(compile_s, 1), "ok": ok,
