@@ -1,39 +1,54 @@
-"""Component-level TPU timing of the hot path (round-3 perf analysis).
+"""Component-level TPU timing of the hot path — dispatch-free differential
+methodology (round 4).
 
-Times, per batch of B cells (vmapped, f32, fresh-random inputs per rep,
-results kept on device, cumulative wall over many reps — the tunnel-safe
-methodology from bench.py; inputs are prebuilt before each timed loop so the
-clock sees only the kernel executions):
+Round-3's version timed ONE component execution per dispatch, which through
+the remote-TPU tunnel measures mostly per-execution overhead (measured
+r04: one batched residual "took" 1.6 ms while the full factorization —
+which contains 10 residual-sized JVP sweeps — "took" 0.1 ms; both numbers
+are dispatch artifacts, not device time).
 
-  residual   one residual evaluation
-  factor     factor_compressed (10 colored JVP sweeps + sparse Schur factor
-             + core inverse)
+Here each component runs K times INSIDE one jitted `lax.fori_loop` (inputs
+perturbed per iteration so no two iterations are identical, accumulator
+carried so nothing is DCE'd), the whole execution is timed at two loop
+lengths, and the per-component device cost is the slope:
+
+    cost = (wall(K_big) - wall(K_small)) / (K_big - K_small)
+
+which cancels dispatch/roundtrip exactly. Components, per batch of B=1024
+cells (vmapped, f32, fresh-random inputs per rep):
+
+  residual   one full-system residual evaluation
+  sweeps     the 10 colored JVP sweeps + exact control row (compressed J)
+  factor     factor_compressed = sweeps + multi-group sparse Schur factor
   solve      one sparse_schur_solve against a stored factorization
-  newton4    4 × (residual + solve) — the Newton loop body without control
-  init       consistent initialization
+  newton4    4 x (residual + solve) — the Newton body without control flow
+  init       consistent initialization (own inner Newton while_loop)
   run        the full discharge (reference point; per-attempt wall derived
              from mean attempts)
 
-Prints one JSON line. Run alone (no other TPU/CPU jobs).
+Prints one JSON line. Run alone (no other TPU/CPU jobs). The tunnel
+degrades a process that interleaves several compiled programs, so
+trustworthy numbers come from one fresh process per component:
 
-`--only NAME[,NAME...]` restricts to those components — the tunnel degrades
-~10x when one process interleaves several compiled programs (CLAUDE.md), so
-trustworthy absolute numbers come from one fresh process per component:
-
-    for c in residual factor solve newton4 init run; do
+    for c in residual sweeps factor solve newton4 init run; do
         python tools/profile_components.py --only $c
     done
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 B = 1024
-REPS = 20
-WARM = 12
+REPS = 10
+WARM = 6
+K_SMALL = 4
+K_BIG = 20
 
 
 def _selected():
@@ -93,13 +108,6 @@ def main():
             return ctrl.full_residual(spec, value, t, y, yp, th_, cfg)
         return F
 
-    # ---- jitted component kernels ----------------------------------------
-    @jax.jit
-    def k_residual(th, y, yp):
-        def one(th_, y_, yp_):
-            return F_of(th_)(100.0, y_, yp_)
-        return jax.vmap(one, in_axes=(AXES, 0, 0))(th, y, yp).sum()
-
     def _factor_one(th_, y_, yp_, c0_):
         F = F_of(th_)
         const = yp_ - c0_ * y_
@@ -108,74 +116,154 @@ def main():
             return F(100.0, yy, c0_ * yy + const)
         return plan.factor_compressed(g, y_)
 
-    @jax.jit
-    def k_factor(th, y, yp, c0):
-        fac = jax.vmap(_factor_one, in_axes=(AXES, 0, 0, 0))(th, y, yp, c0)
-        return jax.tree_util.tree_map(lambda a: a.sum(), fac)
+    def _sweeps_one(th_, y_, yp_, c0_):
+        F = F_of(th_)
+        const = yp_ - c0_ * y_
+
+        def g(yy):
+            return F(100.0, yy, c0_ * yy + const)
+        JS, last = plan.colored.compressed(g, y_)
+        return JS.sum() + last.sum()
 
     @jax.jit
     def k_factor_full(th, y, yp, c0):
         return jax.vmap(_factor_one, in_axes=(AXES, 0, 0, 0))(th, y, yp, c0)
 
-    @jax.jit
-    def k_solve(fac, b):
-        return jax.vmap(plan.solve)(fac, b).sum()
+    def _tree_sum(t):
+        return sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(t))
 
-    @jax.jit
-    def k_newton4(th, y, yp, c0, fac, b):
-        def one(th_, y_, yp_, c0_, fac_, b_):
-            F = F_of(th_)
-            d = b_ * 0.0
+    # ---- K-looped component programs --------------------------------------
+    # Each body perturbs its inputs with the loop index (no two iterations
+    # identical, nothing hoistable) and folds the result into the carried
+    # accumulator (nothing DCE-able). Returned value is one scalar.
 
-            def body(i, d):
-                r = F(100.0, y_ + d, c0_ * d + yp_)
-                return d + plan.solve(fac_, -r)
-            return jax.lax.fori_loop(0, 4, body, d)
-        return jax.vmap(one, in_axes=(AXES, 0, 0, 0, 0, 0))(
-            th, y, yp, c0, fac, b).sum()
+    def make_residual(K):
+        @jax.jit
+        def k(th, y, yp):
+            def body(i, acc):
+                yi = y * (1.0 + 1e-5 * (i + 1).astype(dtype))
+                r = jax.vmap(lambda th_, y_, yp_: F_of(th_)(100.0, y_, yp_),
+                             in_axes=(AXES, 0, 0))(th, yi, yp)
+                return acc + r.sum()
+            return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+        return k
 
-    @jax.jit
-    def k_init(th, y):
-        def one(th_, y_):
-            return consistent_init(F_of(th_), y_, cfg.layout.N_diff,
-                                   reltol_init=1e-3, maxiter=100,
-                                   jac_plan=plan)
-        r = jax.vmap(one, in_axes=(AXES, 0))(th, y)
-        return r.y.sum() + r.yp.sum()
+    def make_sweeps(K):
+        @jax.jit
+        def k(th, y, yp, c0):
+            def body(i, acc):
+                yi = y * (1.0 + 1e-5 * (i + 1).astype(dtype))
+                s = jax.vmap(_sweeps_one, in_axes=(AXES, 0, 0, 0))(
+                    th, yi, yp, c0)
+                return acc + s.sum()
+            return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+        return k
 
-    out = {"batch": B, "reps": REPS}
+    def make_factor(K):
+        @jax.jit
+        def k(th, y, yp, c0):
+            def body(i, acc):
+                yi = y * (1.0 + 1e-5 * (i + 1).astype(dtype))
+                fac = jax.vmap(_factor_one, in_axes=(AXES, 0, 0, 0))(
+                    th, yi, yp, c0)
+                return acc + _tree_sum(fac)
+            return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+        return k
 
-    def time_kernel(name, fn, need_fac=False):
+    def make_solve(K):
+        @jax.jit
+        def k(fac, b):
+            def body(i, acc):
+                bi = b * (1.0 + 1e-5 * (i + 1).astype(dtype))
+                x = jax.vmap(plan.solve)(fac, bi)
+                return acc + x.sum()
+            return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+        return k
+
+    def make_newton4(K):
+        @jax.jit
+        def k(th, y, yp, c0, fac, b):
+            def body(i, acc):
+                yi = y * (1.0 + 1e-5 * (i + 1).astype(dtype))
+
+                def one(th_, y_, yp_, c0_, fac_, b_):
+                    d = b_ * 0.0
+
+                    def nbody(j, d):
+                        r = F_of(th_)(100.0, y_ + d, c0_ * d + yp_)
+                        return d + plan.solve(fac_, -r)
+                    return jax.lax.fori_loop(0, 4, nbody, d)
+                dd = jax.vmap(one, in_axes=(AXES, 0, 0, 0, 0, 0))(
+                    th, yi, yp, c0, fac, b)
+                return acc + dd.sum()
+            return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+        return k
+
+    def make_init(K):
+        @jax.jit
+        def k(th, y):
+            def body(i, acc):
+                yi = y * (1.0 + 1e-5 * (i + 1).astype(dtype))
+
+                def one(th_, y_):
+                    return consistent_init(F_of(th_), y_, cfg.layout.N_diff,
+                                           reltol_init=1e-3, maxiter=100,
+                                           jac_plan=plan)
+                r = jax.vmap(one, in_axes=(AXES, 0))(th, yi)
+                return acc + r.y.sum() + r.yp.sum()
+            return jax.lax.fori_loop(0, K, body, jnp.asarray(0.0, dtype))
+        return k
+
+    MAKERS = {
+        "residual": (make_residual, lambda t_, fac: (t_[0], t_[1], t_[2]),
+                     False),
+        "sweeps": (make_sweeps, lambda t_, fac: (t_[0], t_[1], t_[2], t_[3]),
+                   False),
+        "factor": (make_factor, lambda t_, fac: (t_[0], t_[1], t_[2], t_[3]),
+                   False),
+        "solve": (make_solve, lambda t_, fac: (fac, t_[4]), True),
+        "newton4": (make_newton4,
+                    lambda t_, fac: (t_[0], t_[1], t_[2], t_[3], fac, t_[4]),
+                    True),
+        "init": (make_init, lambda t_, fac: (t_[0], t_[1]), False),
+    }
+
+    out = {"batch": B, "reps": REPS, "k_small": K_SMALL, "k_big": K_BIG}
+
+    def time_component(name):
         if only is not None and name not in only:
             return
-        seeds = list(range(hash(name) % 1000 * 10,
-                           hash(name) % 1000 * 10 + WARM + REPS))
-        ins = []
-        for s in seeds:
-            t_ = mkbatch(s)
-            fac = k_factor_full(t_[0], t_[1], t_[2], t_[3]) if need_fac \
-                else None
-            jax.block_until_ready(t_[1])
-            ins.append((t_, fac))
-        if need_fac:
-            jax.block_until_ready(ins[-1][1])
-        for t_, fac in ins[:WARM]:
-            jax.block_until_ready(fn(t_, fac))
-        t0 = time.time()
-        for t_, fac in ins[WARM:]:
-            r = fn(t_, fac)
-        jax.block_until_ready(r)
-        dt = (time.time() - t0) / REPS
-        out[name + "_ms"] = round(dt * 1e3, 3)
-        print(f"{name}: {dt*1e3:.3f} ms/batch", flush=True)
+        maker, pick, need_fac = MAKERS[name]
+        kfns = {K: maker(K) for K in (K_SMALL, K_BIG)}
+        base = abs(hash(name)) % 1000 * 100
+        walls = {}
+        for K in (K_SMALL, K_BIG):
+            ins = []
+            for s in range(base, base + WARM + REPS):
+                t_ = mkbatch(s + K)
+                fac = (k_factor_full(t_[0], t_[1], t_[2], t_[3])
+                       if need_fac else None)
+                jax.block_until_ready(t_[1])
+                ins.append(pick(t_, fac))
+            if need_fac:
+                jax.block_until_ready(ins[-1][0])
+            for args in ins[:WARM]:
+                jax.block_until_ready(kfns[K](*args))
+            ws = []
+            for args in ins[WARM:]:
+                t0 = time.time()
+                jax.block_until_ready(kfns[K](*args))
+                ws.append(time.time() - t0)
+            walls[K] = float(np.median(ws))
+        cost = (walls[K_BIG] - walls[K_SMALL]) / (K_BIG - K_SMALL)
+        overhead = walls[K_SMALL] - K_SMALL * cost
+        out[name + "_ms"] = round(cost * 1e3, 4)
+        out[name + "_dispatch_ms"] = round(overhead * 1e3, 3)
+        print(f"{name}: {cost*1e3:.4f} ms/batch "
+              f"(dispatch {overhead*1e3:.2f} ms)", flush=True)
 
-    time_kernel("residual", lambda t_, fac: k_residual(t_[0], t_[1], t_[2]))
-    time_kernel("factor", lambda t_, fac: k_factor(t_[0], t_[1], t_[2],
-                                                   t_[3]))
-    time_kernel("solve", lambda t_, fac: k_solve(fac, t_[4]), need_fac=True)
-    time_kernel("newton4", lambda t_, fac: k_newton4(
-        t_[0], t_[1], t_[2], t_[3], fac, t_[4]), need_fac=True)
-    time_kernel("init", lambda t_, fac: k_init(t_[0], t_[1]))
+    for name in MAKERS:
+        time_component(name)
 
     # ---- full run reference ----------------------------------------------
     if only is not None and "run" not in only:
