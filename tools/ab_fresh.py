@@ -46,6 +46,10 @@ VARIANTS = {
     "dc1": {"PETLION_PALLAS_DCHAIN": "1"},
     "pbdc": {"PETLION_PALLAS_BLOCKS": "1", "PETLION_PALLAS_DCHAIN": "1"},
     "ms0": {"PETLION_MEANSHIFT": "0"},
+    # IDA-style chunked Jacobian reuse (opts.jac_reuse, run.py:346): factor
+    # once per chunk of K accepted steps instead of inside every attempt
+    "jr6": {"PETLION_JACREUSE": "6"},
+    "jr12": {"PETLION_JACREUSE": "12"},
 }
 
 CANARY_N, CANARY_ITERS = 2048, 60       # 2*60*2048^3 ~ 1.03 TFLOP per call
@@ -129,7 +133,9 @@ def child_variant(variant, reps, batch, seed0):
 
     p = pt.petlion(pt.LCO)
     p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
-                            maxiters=500)
+                            maxiters=500,
+                            jac_reuse=int(os.environ.get("PETLION_JACREUSE",
+                                                         "0")))
     run = make_runner(p, batch)
 
     t0 = time.time()

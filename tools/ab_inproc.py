@@ -61,7 +61,9 @@ def main():
         planmod._PLAN_CACHE.clear()
         p = pt.petlion(pt.LCO)   # fresh plan object => fresh jit entry
         p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
-                                maxiters=500)
+                                maxiters=500,
+                                jac_reuse=int(env.get("PETLION_JACREUSE",
+                                                      "0")))
         return make_runner(p, batch)
 
     # slot 0 = variant a, slot 1 = variant b (a==b is the sanity mode).
