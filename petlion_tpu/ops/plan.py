@@ -43,12 +43,20 @@ class JacobianPlan:
                                      sparse_schur_solve)
             self.split = make_group_split(cfg.layout, pattern)
             # nested in-core elimination levels (j, then Φ_s): core 71 -> 31
-            # on the default mesh. PETLION_NESTED: "1" (default) = both,
-            # "j" = j only, "0" = off — the A/B toggle for perf audits.
+            # on the default mesh. PETLION_NESTED: "1" = both, "j" = j only,
+            # "0" (default) = off. Hardware A/B (measurements_r04/
+            # ab_head_n0.log, in-process paired, 8 blocks): nesting is a
+            # 3-4% LOSS on a real v5e chip (head_over_n0 = 0.966, all 8
+            # block ratios ≤ 1.0) and roughly doubles remote compile time
+            # (BENCH_r03 227.5 s vs r02 111.7 s) — the shrunken 31³ core GJ
+            # does not pay for the two extra 20×20 equilibrated inverses +
+            # their solve traffic at this batch shape. Kept as an opt-in
+            # (correctness pinned by test_structured) for future meshes
+            # where the core is larger.
             import os
-            _nest = os.environ.get("PETLION_NESTED", "1")
+            _nest = os.environ.get("PETLION_NESTED", "0")
             families = {"1": ("j", "Phi_s"), "j": ("j",), "0": ()}.get(
-                _nest, ("j", "Phi_s"))
+                _nest, ())
             self._specs = make_sparse_specs(self.colored, self.split,
                                             cfg.layout, families)
             colored, specs, split = self.colored, self._specs, self.split

@@ -60,11 +60,35 @@ def _newton_solve_err(p, seed=0, soc=0.7, i_val=-1.0, t=100.0):
 _LAST_FAC_TYPE = [None]   # factor-type probe for the fused-route test
 
 
-def test_nested_specs_default_mesh():
-    """Default LCO isothermal: groups eliminate c_s+c_e (core 301->71),
-    nested levels eliminate j then Φ_s (71->51->31)."""
-    p = pt.petlion(pt.LCO)
-    plan = get_plan(p.cfg, p.theta)
+import contextlib
+import os
+
+
+@contextlib.contextmanager
+def _nested_on():
+    """Opt into the nested in-core elimination (default OFF since r04 —
+    measured 3-4% slower on hardware, measurements_r04/ab_head_n0.log)
+    with a fresh plan cache, restoring both on exit."""
+    from petlion_tpu.ops import plan as planmod
+    old = os.environ.get("PETLION_NESTED")
+    os.environ["PETLION_NESTED"] = "1"
+    planmod._PLAN_CACHE.clear()
+    try:
+        yield
+    finally:
+        if old is None:
+            os.environ.pop("PETLION_NESTED", None)
+        else:
+            os.environ["PETLION_NESTED"] = old
+        planmod._PLAN_CACHE.clear()
+
+
+def test_nested_specs_opt_in():
+    """LCO isothermal with PETLION_NESTED=1: groups eliminate c_s+c_e
+    (core 301->71), nested levels eliminate j then Φ_s (71->51->31)."""
+    with _nested_on():
+        p = pt.petlion(pt.LCO)
+        plan = get_plan(p.cfg, p.theta)
     cspecs, spec_D, nested, pinfo = plan._specs
     assert len(plan.split.i_core) == 71
     assert len(nested) == 2
@@ -104,12 +128,13 @@ def test_schur_solve_nmc():
     assert err < 1e-7, err
 
 
-def test_perm_info_default_mesh():
+def test_perm_info_opt_in():
     """The fused-kernel permutation must cover the core exactly, with the
     level sizes matching the nested specs and the control row landing in
     the final (unpermuted-last) core block."""
-    p = pt.petlion(pt.LCO)
-    plan = get_plan(p.cfg, p.theta)
+    with _nested_on():
+        p = pt.petlion(pt.LCO)
+        plan = get_plan(p.cfg, p.theta)
     _, _, nested, pinfo = plan._specs
     perm, sizes = pinfo
     n_core = len(plan.split.i_core)
@@ -140,11 +165,11 @@ def test_fused_dchain_matches_xla_path():
     orig = pl.pallas_call
     try:
         pl.pallas_call = functools.partial(orig, interpret=True)
-        with mock.patch.object(linsolve, "_use_pallas_gj",
+        with _nested_on(), \
+             mock.patch.object(linsolve, "_use_pallas_gj",
                                lambda J, min_n=17: J.ndim == 2
                                and J.shape[-1] >= min_n), \
              mock.patch.object(structured, "_PALLAS_DCHAIN", True):
-            planmod._PLAN_CACHE.clear()
             p = pt.petlion(pt.LCO)
             err, plan = _newton_solve_err(p, seed=5)
             # the forced route must actually have produced the fused type

@@ -36,11 +36,12 @@ sys.path.insert(0, REPO)
 
 CACHE_DIR = os.path.join(REPO, ".jax_cache")
 
-# env deltas vs HEAD defaults (NESTED=1, PALLAS_BLOCKS=0, PALLAS_DCHAIN=0,
-# MEANSHIFT=1)
+# env deltas vs HEAD defaults (NESTED=0, PALLAS_BLOCKS=0, PALLAS_DCHAIN=0,
+# MEANSHIFT=1, JACREUSE=0)
 VARIANTS = {
     "head": {},
-    "n0": {"PETLION_NESTED": "0"},        # nested elimination off (core 71)
+    "n0": {"PETLION_NESTED": "0"},        # = head since r04 (default off)
+    "n1": {"PETLION_NESTED": "1"},        # nested elimination on (core 31)
     "nj": {"PETLION_NESTED": "j"},        # j-level only
     "pb1": {"PETLION_PALLAS_BLOCKS": "1"},
     "dc1": {"PETLION_PALLAS_DCHAIN": "1"},

@@ -57,7 +57,7 @@ def main():
             env.get("PETLION_PALLAS_BLOCKS", "0") != "0"
         structured._PALLAS_DCHAIN = \
             env.get("PETLION_PALLAS_DCHAIN", "0") != "0"
-        os.environ["PETLION_NESTED"] = env.get("PETLION_NESTED", "1")
+        os.environ["PETLION_NESTED"] = env.get("PETLION_NESTED", "0")
         planmod._PLAN_CACHE.clear()
         p = pt.petlion(pt.LCO)   # fresh plan object => fresh jit entry
         p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
