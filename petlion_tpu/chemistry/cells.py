@@ -188,9 +188,10 @@ def NMC(
         "l_n": 48e-6, "sigma_n": 100.0, "eps_n": 0.3, "eps_fn": 0.038,
         "brugg_n": 1.5, "c_max_n": 31080.0, "Rp_n": 10e-6,
         "Ea_D_sn": 4e4, "Ea_k_n": 3e4,
-        # aging defaults reused from LiC6 for SEI runs
+        # aging defaults reused from LiC6 for SEI runs (the reference's
+        # NMC set defines no SEI θ at all; ρ_n from params.jl:90)
         "R_SEI": 0.01, "M_n": 7.3e-4, "k_n_aging": 1.0,
-        "i_0_jside": 1.5e-6, "Uref_s": 0.4, "w": 2.0,
+        "i_0_jside": 1.5e-6, "Uref_s": 0.4, "w": 2.0, "rho_n": 2500.0,
         # system (params.jl:428-445)
         "l_s": 25e-6, "eps_s": 0.4, "brugg_s": 1.5, "t_plus": 0.38,
         "c_e0": 1200.0, "T0": 298.15, "T_amb": 298.15,
