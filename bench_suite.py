@@ -97,14 +97,14 @@ def main():
     # whole batch with one Newton iteration; attempts are per cell, so the
     # per-batch trip estimate is attempts/B
     est_flops = body_flops * (att1 / B) if body_flops == body_flops else None
-    emit("1_cc_discharge", batch=B, rate_per_s=round(B / dt1, 1),
+    emit("1_cc_discharge", chemistry="LCO", batch=B, rate_per_s=round(B / dt1, 1),
          rep_times_s=[round(t, 3) for t in ts],
          ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
          attempts_per_s=round(att1 / dt1, 1),
          xla_body_flops=body_flops,
          est_flops_per_s=(round(est_flops / dt1, 1) if est_flops else None))
 
-    emit("5_10k_sweep", **row5)
+    emit("5_10k_sweep", chemistry="LCO", **row5)
 
     # ---- (2) CC-CV with per-cell V-hold switching, one jit ----------------
     segs = [dict(I=2.0, V_max=4.1, SOC_max=1.0), dict(V="hold", SOC_max=1.0)]
@@ -124,7 +124,7 @@ def main():
         rs = run2()
         ts.append(time.time() - t0)
     cc, cv = rs
-    emit("2_cc_cv_protocol", batch=B,
+    emit("2_cc_cv_protocol", chemistry="LCO", batch=B,
          rate_per_s=round(B / statistics.median(ts), 1),
          rep_times_s=[round(t, 3) for t in ts],
          cc_exit_Vmax=float((np.asarray(cc.flag) == 2).mean()),
@@ -145,7 +145,7 @@ def main():
     t0 = time.time()
     sol = simulate_protocol(pth, protocol3, **kw3)
     wall = time.time() - t0
-    emit("3_thermal_cc_ct_cv", t_sim=round(float(sol.t[-1]), 2),
+    emit("3_thermal_cc_ct_cv", chemistry="LCO", t_sim=round(float(sol.t[-1]), 2),
          I_final=round(float(sol.I[-1]), 4),
          exit=sol.final_exit_reason(), wall_s=round(wall, 2),
          ref_t_sim=1865.61, ref_I_final=0.1959,
@@ -169,7 +169,7 @@ def main():
     wall = time.time() - t0
     soh = np.asarray(sol.arrays["SOH"])
     emit("4_sei_cycling", chemistry="NMC", cycles=3.5,
-         soh_final=round(float(soh[-1]), 6),
+         soh_final=round(float(soh[-1].ravel()[0]), 6),
          soh_monotone=bool(np.all(np.diff(soh[:, 0]) <= 1e-12)),
          exits=sol.exit_reasons(),
          wall_s=round(wall, 2))
