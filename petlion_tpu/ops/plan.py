@@ -24,7 +24,7 @@ class JacobianPlan:
     """Hashable-by-identity bundle: coloring + structured factor/solve."""
 
     def __init__(self, cfg: ModelConfig, pattern: np.ndarray,
-                 use_schur: bool = True):
+                 use_schur: bool = True, theta_sample: dict | None = None):
         self.cfg = cfg
         # the control (last) row is computed exactly by one reverse-mode pass
         # and excluded from the coloring, so declaring it dense costs nothing
@@ -35,6 +35,22 @@ class JacobianPlan:
         pattern[-1, :] = True
         self.colored = ColoredJacobian(pattern)
         self.use_schur = use_schur
+        # analytic (closed-form) Jacobian assembly replacing the colored JVP
+        # sweeps where the structural closed forms cover the pattern
+        # (ops/analytic.py). PETLION_JACA: "1" (default) = on when supported,
+        # "0" = always colored sweeps. Correctness is pinned by
+        # tests/test_analytic.py (analytic == colored at 1e-12 in f64).
+        self.analytic = None
+        import os as _os
+        if _os.environ.get("PETLION_JACA", "1") != "0" and use_schur:
+            from . import analytic as _analytic
+            if _analytic.AnalyticJacobian.supports(cfg) \
+                    and theta_sample is not None:
+                try:
+                    self.analytic = _analytic.AnalyticJacobian(
+                        cfg, self.colored, theta_sample)
+                except _analytic.Unsupported:
+                    self.analytic = None
         if use_schur:
             from ..solver import linsolve
             from .structured import (SparseSchur, SparseSchurP,
@@ -99,16 +115,25 @@ class JacobianPlan:
             self._alg_cache = (nd, np.asarray(colors_alg), mask, seeds_alg)
         return self._alg_cache
 
-    def factor_alg(self, alg_res_fn, y_alg, y_diff):
+    def factor_alg(self, alg_res_fn, y_alg, y_diff, th=None):
         """Colored Jacobian + equilibrated inverse of the algebraic block.
 
         Replaces the dense jacfwd in `consistent_init` (n_alg JVP sweeps)
         with the plan's column coloring (~n_colors sweeps) — on the default
         LCO mesh 71 → 10 residual sweeps per Newton iteration; the init was
-        ~27% of a full batched discharge before this.
+        ~27% of a full batched discharge before this. With an analytic
+        assembler (ops/analytic.py) the sweeps disappear entirely: the
+        algebraic block is closed-form + one kinetics jvp, and only the
+        substituted control row keeps its exact reverse-mode pass.
         """
         import jax as _jax
         from ..solver import linsolve
+        if self.analytic is not None and th is not None:
+            J = self.analytic.alg_block(
+                jnp.concatenate([y_diff, y_alg]), th)
+            last = _jax.grad(lambda ya: alg_res_fn(ya, y_diff)[-1])(y_alg)
+            J = J.at[-1, :].set(last)
+            return linsolve.equilibrated_inv_factor(J)
         nd, colors_alg, mask, seeds_alg = self._alg_meta()
         dtype = y_alg.dtype
         seeds = jnp.asarray(seeds_alg, dtype)
@@ -130,7 +155,7 @@ class JacobianPlan:
             return linsolve.refined_lu_factor(J)
         return linsolve.equilibrated_inv_factor(J)
 
-    def factor_compressed(self, g, y):
+    def factor_compressed(self, g, y, t=None, c0=None, th=None):
         """Jacobian + factorization straight from the colored JVP sweeps —
         neither the dense (N,N) matrix nor the (n_cs × n_core) coupling
         blocks are ever materialized.
@@ -150,7 +175,10 @@ class JacobianPlan:
                 and getattr(self.cfg.numerics, "temperature", False)):
             from ..solver import linsolve
             return linsolve.refined_lu_factor(self.colored(g, y))
-        JS, last = self.colored.compressed(g, y)
+        if self.analytic is not None and th is not None and c0 is not None:
+            JS, last = self.analytic.compressed(t, y, c0, th, g)
+        else:
+            JS, last = self.colored.compressed(g, y)
         return self._sparse_factor(JS, last, self.colored, self._specs,
                                    self.split)
 
@@ -209,6 +237,8 @@ def get_plan(cfg: ModelConfig, theta: dict, use_schur: bool = True,
 
         pattern = detect_sparsity(F, ys, yps, ts, L.N_diff)
 
-    plan = JacobianPlan(cfg, pattern, use_schur=use_schur)
+    plan = JacobianPlan(cfg, pattern, use_schur=use_schur,
+                        theta_sample={k: float(v) for k, v in theta.items()
+                                      if np.ndim(v) == 0})
     _PLAN_CACHE[key] = plan
     return plan

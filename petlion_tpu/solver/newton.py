@@ -35,7 +35,7 @@ class InitResult(NamedTuple):
 def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
                     maxiter=100, c_e0=1000.0,
                     init_algebraic_derivatives=True, t0=0.0,
-                    jac_plan=None) -> InitResult:
+                    jac_plan=None, th=None) -> InitResult:
     """F(t, y, yp) -> full residual (with control row). y0: initial guess.
     `t0` is the initialization time (0 for fresh runs; the post-discontinuity
     time for mid-run re-initializations). With `jac_plan`, the algebraic
@@ -64,7 +64,7 @@ def consistent_init(F: Callable, y0, n_diff: int, *, reltol_init=1e-3,
         y_diff, y_alg = y[:n_diff], y[n_diff:]
         r = alg_res(y_alg, y_diff)
         if jac_plan is not None:
-            lu = jac_plan.factor_alg(alg_res, y_alg, y_diff)
+            lu = jac_plan.factor_alg(alg_res, y_alg, y_diff, th=th)
         else:
             J = jax.jacfwd(alg_res)(y_alg, y_diff)
             lu = linsolve.equilibrated_inv_factor(J)

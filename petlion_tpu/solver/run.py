@@ -184,7 +184,7 @@ def run_once(*,
     init = consistent_init(F, y0, nd,
                            reltol_init=opts.reltol_init_,
                            maxiter=opts.init_maxiter,
-                           c_e0=float(1000.0), jac_plan=jac_plan)
+                           c_e0=float(1000.0), jac_plan=jac_plan, th=th)
     y0, yp0 = init.y, init.yp
 
     # ---- integrator setup ---------------------------------------------------
@@ -207,7 +207,8 @@ def run_once(*,
             return F(t, y, c0 * y + const)
 
         if jac_plan is not None:
-            return jac_plan.factor_compressed(composed, y_pred)
+            return jac_plan.factor_compressed(composed, y_pred,
+                                              t=t, c0=c0, th=th)
         return factor(jax.jacfwd(composed)(y_pred))
 
     hmax = opts.dtmax if opts.dtmax is not None else float("inf")
@@ -291,7 +292,8 @@ def run_once(*,
             def rescue(st):
                 init2 = consistent_init(
                     F, st.D[0], nd, reltol_init=opts.reltol_init_,
-                    maxiter=opts.init_maxiter, t0=t_jump, jac_plan=jac_plan)
+                    maxiter=opts.init_maxiter, t0=t_jump, jac_plan=jac_plan,
+                    th=th)
                 # fresh-start step-size heuristic at the post-jump state
                 # (the reference relies on IDASetInitStep after IDAReInit)
                 h_new = bdf.initial_step_size(init2.y, init2.yp, atol,
