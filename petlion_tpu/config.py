@@ -168,6 +168,12 @@ class SimOptions:
     # enabling (4-8) where the factor is expensive — e.g. the f32 thermal
     # pivoted-LU path.
     jac_reuse: int = 0
+    # accepted-step size policy: "greedy" = SciPy-BDF (grow up to 10× by the
+    # error proxy every k+2 equal steps); "ida" = Sundials hysteresis (grow
+    # only when the estimate clears 2×, cap 2, hold h in [1,2) — fewer
+    # rejected attempts at slightly more accepted steps; ida.c
+    # IDACompleteStep). A/B'd on hardware; see PARITY.md round-5 notes.
+    step_control: str = "greedy"
     init_maxiter: int = 100       # consistent-initialization Newton iters
     dt0: Optional[float] = None   # initial step; None -> heuristic
     dtmax: Optional[float] = None

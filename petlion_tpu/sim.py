@@ -39,7 +39,7 @@ _OPT_KEYS = ("outputs", "abstol", "abstol_T", "reltol", "abstol_init",
              "maxiters", "check_bounds", "reinit", "verbose", "interp_final",
              "interp_bc", "max_order", "max_save", "newton_maxiter",
              "init_maxiter", "dt0", "dtmax", "save_start", "stop_function",
-             "jac_reuse")
+             "jac_reuse", "step_control")
 _METHOD_KEYS = ("I", "V", "P", "eta_p", "res", "dT",
                 "dc_s_p_max", "dc_s_p_min", "dc_s_n_max", "dc_s_n_min",
                 "dc_e_max", "dc_e_min", "T")

@@ -208,7 +208,8 @@ def make_stepper(F: Callable,
                  newton_maxiter: int = 4,
                  hmin: float = 1e-10,
                  hmax: float = np.inf,
-                 max_attempts: int = 100):
+                 max_attempts: int = 100,
+                 step_control: str = "greedy"):
     """Build `step(state, t_bound, J_lu, c0_fac) -> (state, accepted)`.
 
     F(t, y, yp) -> residual (N,).
@@ -333,8 +334,33 @@ def make_stepper(F: Callable,
             fs = jnp.stack([fm, f0, fp])
             best = jnp.argmax(fs).astype(jnp.int32)
             k_new = k_ + best - 1
-            factor = jnp.clip(SAFETY * fs[best], MIN_FACTOR, MAX_FACTOR)
-            return (change_D(D_a, k_new, factor), k_new, h_ * factor,
+            raw = SAFETY * fs[best]
+            if step_control == "ida":
+                # Sundials ida.c IDACompleteStep semantics: after the
+                # startup phase, grow h only when the estimate clears 2×
+                # (capped at 2), HOLD h when the proposed ratio lands in
+                # [1, 2) — the hysteresis band that stops the
+                # grow-then-reject churn of the greedy policy — and shrink
+                # gently (≥ 0.5) on an accepted step. During startup the
+                # greedy growth is kept so h can climb from the small h0
+                # without paying ~17 doubling steps (IDA's large initial
+                # eta_max plays the same role).
+                startup = state.n_steps < 20
+                grown = jnp.minimum(raw, jnp.asarray(2.0, dtype))
+                held = jnp.where(raw >= 2.0, grown,
+                                 jnp.where(raw >= 1.0,
+                                           jnp.asarray(1.0, dtype),
+                                           jnp.clip(raw, 0.5, 1.0)))
+                factor = jnp.where(startup,
+                                   jnp.clip(raw, MIN_FACTOR, MAX_FACTOR),
+                                   held)
+            else:
+                factor = jnp.clip(raw, MIN_FACTOR, MAX_FACTOR)
+            D_new = change_D(D_a, k_new, factor)
+            # exact no-op when h is held (change_D(·, 1.0) is identity only
+            # up to rounding; the hold must not perturb the history)
+            D_new = jnp.where(factor == 1.0, D_a, D_new)
+            return (D_new, k_new, h_ * factor,
                     jnp.asarray(0, jnp.int32))
 
         def no_adapt(args):

@@ -214,7 +214,8 @@ def run_once(*,
     hmax = opts.dtmax if opts.dtmax is not None else float("inf")
     step = bdf.make_stepper(F, jac_and_factor, solve,
                             atol, opts.reltol,
-                            newton_maxiter=opts.newton_maxiter, hmax=hmax)
+                            newton_maxiter=opts.newton_maxiter, hmax=hmax,
+                            step_control=opts.step_control)
 
     vec_outs = _vector_outputs(opts, cfg)
     bufs = _make_bufs(opts, cfg, vec_outs, dtype)

@@ -52,6 +52,18 @@ def test_1c_discharge_jac_reuse(p_iso):
     assert abs(sol.V[-1] - 2.9357) / 2.9357 < 0.01
 
 
+@pytest.mark.fast
+def test_1c_discharge_ida_step_control(p_iso):
+    """IDA-style step-growth hysteresis (step_control="ida": grow only when
+    the estimate clears 2x, hold h in [1,2) — Sundials IDACompleteStep)
+    must reproduce the golden, with fewer rejected attempts than the greedy
+    policy (the motivation: ~26% of round-4 solver work was rejections)."""
+    sol = pt.simulate(p_iso, I=-1, SOC=1, step_control="ida")
+    assert sol.final_exit_reason() == "Below min. SOC"
+    assert abs(sol.t[-1] - 3600.0) < 1.0
+    assert abs(sol.V[-1] - 2.9357) / 2.9357 < 0.01
+
+
 def test_cc_ct_cv_protocol_golden(p_therm):
     """README.md:20-36 — the flagship correctness trace."""
     sol = pt.simulate(p_therm, I=4, SOC=0, V_max=4.1, T_max=40 + 273.15,

@@ -51,6 +51,11 @@ VARIANTS = {
     # once per chunk of K accepted steps instead of inside every attempt
     "jr6": {"PETLION_JACREUSE": "6"},
     "jr12": {"PETLION_JACREUSE": "12"},
+    # round-5: analytic Jacobian assembly (default ON since r05; jc0 = the
+    # colored-sweep path it replaced) and IDA-style step-growth hysteresis
+    "jc0": {"PETLION_JACA": "0"},
+    "ida": {"PETLION_STEPCTL": "ida"},
+    "jc0ida": {"PETLION_JACA": "0", "PETLION_STEPCTL": "ida"},
 }
 
 CANARY_N, CANARY_ITERS = 2048, 60       # 2*60*2048^3 ~ 1.03 TFLOP per call

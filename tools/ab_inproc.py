@@ -58,12 +58,15 @@ def main():
         structured._PALLAS_DCHAIN = \
             env.get("PETLION_PALLAS_DCHAIN", "0") != "0"
         os.environ["PETLION_NESTED"] = env.get("PETLION_NESTED", "0")
+        os.environ["PETLION_JACA"] = env.get("PETLION_JACA", "1")
         planmod._PLAN_CACHE.clear()
         p = pt.petlion(pt.LCO)   # fresh plan object => fresh jit entry
         p.opts = p.opts.replace(abstol=5e-4, reltol=1e-3, max_save=2,
                                 maxiters=500,
                                 jac_reuse=int(env.get("PETLION_JACREUSE",
-                                                      "0")))
+                                                      "0")),
+                                step_control=env.get("PETLION_STEPCTL",
+                                                     "greedy"))
         return make_runner(p, batch)
 
     # slot 0 = variant a, slot 1 = variant b (a==b is the sanity mode).
