@@ -151,6 +151,29 @@ def main():
          ref_t_sim=1865.61, ref_I_final=0.1959,
          within_1pct=bool(abs(float(sol.t[-1]) - 1865.61) / 1865.61 < 0.01))
 
+    # ---- (3b) thermal 1C discharge, BATCHED (round-4 VERDICT dir. 4) ------
+    # the f32-thermal path routes every attempt through a dense pivoted
+    # RefinedLU (plan.py) and takes ~3-8x more step rejections on TPU; this
+    # row measures that BATCHED cost next to the isothermal config-1 rate.
+    Bt = 256
+    pth.opts = pth.opts.replace(max_save=2, maxiters=500, **f32tol)
+    runner3b = make_runner(pth, Bt)      # same canonical program, thermal p
+    runner3b(int(rng.integers(1 << 30)))             # compile + warmup
+    runner3b(int(rng.integers(1 << 30)))
+    ts, last = [], None
+    for _ in range(3):
+        t0 = time.time()
+        last = runner3b(int(rng.integers(1 << 30)))
+        ts.append(time.time() - t0)
+    dt3b = statistics.median(ts)
+    emit("3b_thermal_discharge_batched", chemistry="LCO", batch=Bt,
+         rate_per_s=round(Bt / dt3b, 1),
+         rep_times_s=[round(t, 3) for t in ts],
+         ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
+         attempts_per_cell=round(_attempts(last) / Bt, 1),
+         attempts_per_s=round(_attempts(last) / dt3b, 1),
+         thermal_cost_vs_isothermal=round((B / dt1) / (Bt / dt3b), 2))
+
     # ---- (4) NMC + SEI aging, cycling with carry-over ---------------------
     # BASELINE.md row 4: "NMC with SEI aging, repeated cycling"
     page = pt.petlion(pt.NMC, aging="SEI")
@@ -173,6 +196,37 @@ def main():
          soh_monotone=bool(np.all(np.diff(soh[:, 0]) <= 1e-12)),
          exits=sol.exit_reasons(),
          wall_s=round(wall, 2))
+
+    # ---- (4b) NMC + SEI 1C discharge, BATCHED (round-4 VERDICT dir. 4) ----
+    # per-cell ±5% θ perturbations around the NMC values (fresh per rep)
+    from petlion_tpu.parallel.batch import batch_simulate
+    Bs = 256
+    swept4 = {k: page.theta[k] for k in ("D_sp", "D_sn", "k_p", "k_n")}
+
+    def run4b():
+        tb = {k: v * (1 + 0.05 * rng.standard_normal(Bs))
+              for k, v in swept4.items()}
+        r = batch_simulate(page, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
+                           outputs=("t", "V"), max_save=2, maxiters=500,
+                           **f32tol)
+        jax.block_until_ready(r.flag)
+        return r
+
+    run4b()                                          # compile + warmup
+    run4b()
+    ts, last = [], None
+    for _ in range(3):
+        t0 = time.time()
+        last = run4b()
+        ts.append(time.time() - t0)
+    dt4b = statistics.median(ts)
+    emit("4b_sei_discharge_batched", chemistry="NMC", batch=Bs,
+         rate_per_s=round(Bs / dt4b, 1),
+         rep_times_s=[round(t, 3) for t in ts],
+         ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
+         attempts_per_cell=round(_attempts(last) / Bs, 1),
+         attempts_per_s=round(_attempts(last) / dt4b, 1),
+         sei_cost_vs_isothermal=round((B / dt1) / (Bs / dt4b), 2))
 
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=1)

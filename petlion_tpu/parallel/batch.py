@@ -35,19 +35,23 @@ def _in_axes_for(th, th_batched_keys):
 @partial(jax.jit, static_argnames=("cfg", "spec", "opts", "is_rest",
                                    "is_temperature_hold", "th_axes",
                                    "bound_axes", "value_axis", "soc_axis",
-                                   "jac_plan"))
-def _batch_core(y_start, soc0, value, tf, th, bounds,
-                cfg, spec, opts, is_rest, is_temperature_hold,
-                th_axes, bound_axes, value_axis, soc_axis, jac_plan=None):
-    def one(y0, soc, val, th_, bd_):
+                                   "jac_plan", "tstops_axis"))
+def _batch_core(y_start, soc0, value, tf, th, bounds, tstops=None,
+                cfg=None, spec=None, opts=None, is_rest=False,
+                is_temperature_hold=False,
+                th_axes=(), bound_axes=(), value_axis=None, soc_axis=None,
+                jac_plan=None, tstops_axis=None):
+    def one(y0, soc, val, th_, bd_, ts_):
         return run_once(y_start=y0, soc0=soc, value=val, tf=tf, th=th_,
                         bounds=bd_, cfg=cfg, spec=spec, opts=opts,
                         is_rest=is_rest,
                         is_temperature_hold=is_temperature_hold,
-                        jac_plan=jac_plan)
+                        jac_plan=jac_plan, tstops=ts_)
 
-    in_axes = (0, soc_axis, value_axis, dict(th_axes), dict(bound_axes))
-    return jax.vmap(one, in_axes=in_axes)(y_start, soc0, value, th, bounds)
+    in_axes = (0, soc_axis, value_axis, dict(th_axes), dict(bound_axes),
+               tstops_axis)
+    return jax.vmap(one, in_axes=in_axes)(y_start, soc0, value, th, bounds,
+                                          tstops)
 
 
 def _prepare_batch(p: Model, tf, *, n_cells=None, theta_batch=None, SOC=None,
@@ -68,6 +72,15 @@ def _prepare_batch(p: Model, tf, *, n_cells=None, theta_batch=None, SOC=None,
         assert n_cells is not None, "need n_cells or theta_batch"
         B = n_cells
     th_axes_t = tuple(sorted((k, 0 if k in th_axes else None) for k in th))
+
+    # explicit per-run stop times (reference postfix_integrator!,
+    # model_evaluation.jl:288-310). Each accepts a shared (K,) list/array or
+    # a per-cell (B, K) array — e.g. per-cell GITT pulse schedules. Rows may
+    # be padded with np.inf (inf stops never fire). `tdiscon` entries are
+    # shifted to just before the discontinuity (− reltol/2, sim.py
+    # semantics) so the control-jump probe fires and re-initializes.
+    tstops_in = kwargs.pop("tstops", None)
+    tdiscon_in = kwargs.pop("tdiscon", None)
 
     bdict = events.bounds_dict(p.bounds)
     from ..sim import _BOUND_KEYS
@@ -90,6 +103,24 @@ def _prepare_batch(p: Model, tf, *, n_cells=None, theta_batch=None, SOC=None,
     name, spec, value, is_rest, is_th = _build_control(p, None, kwargs)
     if kwargs:
         raise TypeError(f"unknown keyword arguments: {sorted(kwargs)}")
+
+    ts_parts = []
+    if tstops_in is not None:
+        ts_parts.append(jnp.atleast_1d(jnp.asarray(tstops_in, dtype)))
+    if tdiscon_in is not None:
+        ts_parts.append(jnp.atleast_1d(jnp.asarray(tdiscon_in, dtype))
+                        - opts.reltol / 2)
+    tstops, tstops_axis = None, None
+    if ts_parts:
+        ndim = max(a.ndim for a in ts_parts)
+        if ndim == 2:
+            ts_parts = [a if a.ndim == 2
+                        else jnp.broadcast_to(a, (B,) + a.shape)
+                        for a in ts_parts]
+            tstops_axis = 0
+        tstops = jnp.concatenate(ts_parts, axis=-1)
+        if tstops.ndim == 2:
+            assert tstops.shape[0] == B, (tstops.shape, B)
 
     if value_batch is not None:
         value = jnp.asarray(value_batch, dtype)
@@ -121,11 +152,11 @@ def _prepare_batch(p: Model, tf, *, n_cells=None, theta_batch=None, SOC=None,
     if fast_solver:
         from ..ops.plan import get_plan
         jac_plan = get_plan(p.cfg, p.theta)
-    args = (y_start, soc_b, value, jnp.asarray(tf, dtype), th, bdict)
+    args = (y_start, soc_b, value, jnp.asarray(tf, dtype), th, bdict, tstops)
     statics = dict(cfg=p.cfg, spec=spec, opts=opts, is_rest=is_rest,
                    is_temperature_hold=is_th, th_axes=th_axes_t,
                    bound_axes=bound_axes_t, value_axis=value_axis,
-                   soc_axis=0, jac_plan=jac_plan)
+                   soc_axis=0, jac_plan=jac_plan, tstops_axis=tstops_axis)
     return args, statics
 
 

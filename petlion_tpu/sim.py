@@ -69,12 +69,75 @@ class Model:
         return {k: jnp.asarray(v, dtype) for k, v in self.theta.items()}
 
     def __repr__(self):
-        n = self.numerics
-        return (f"PETLION-TPU model: {n.cathode} | {n.anode}\n"
-                f"  temperature={n.temperature} solid_diffusion="
-                f"{n.solid_diffusion} aging={n.aging}\n"
-                f"  N_tot={self.cfg.layout.N_tot} "
-                f"(diff {self.cfg.layout.N_diff}, alg {self.cfg.layout.N_alg})")
+        """Structured summary matching the reference's model show
+        (structures.jl:496-566): electrodes + closures, options, limiting-
+        electrode capacity, active bounds, node points."""
+        n, N, b = self.numerics, self.N, self.bounds
+        fn = lambda f: getattr(f, "__name__", repr(f))  # noqa: E731
+
+        # limiting electrode + capacity (auxiliary fn, residuals.py:87-95)
+        from .physics.residuals import active_material
+        th = self.theta
+        try:
+            eps_sp, eps_sn = active_material(th)
+            q_p = float(eps_sp * th["l_p"] * th["c_max_p"]
+                        * (th["theta_min_p"] - th["theta_max_p"]))
+            q_n = float(eps_sn * th["l_n"] * th["c_max_n"]
+                        * (th["theta_max_n"] - th["theta_min_n"]))
+            from .constants import FARADAY
+            q_min = (FARADAY / 3600.0) * min(q_p, q_n)
+            lim = "cathode" if q_p <= q_n else "anode"
+            cap_line = f"  Total capacity:  {q_min:.2f} Ah/m², {lim}-limited\n"
+        except (KeyError, TypeError):
+            cap_line = ""
+
+        def bound_line(title, lo, hi, unit=""):
+            import math as _m
+            has_lo, has_hi = not _m.isnan(lo), not _m.isnan(hi)
+            if not (has_lo or has_hi):
+                return ""
+            if has_lo and has_hi:
+                rng = f"[{lo:g}{unit}, {hi:g}{unit}]"
+            elif has_lo:
+                rng = f"min {lo:g}{unit}"
+            else:
+                rng = f"max {hi:g}{unit}"
+            return f"  {title + ':':<16} {rng}\n"
+
+        nan = float("nan")
+        lines = [
+            f"PETLION-TPU model:\n",
+            f"  Cathode: {n.cathode}, {fn(n.rxn_p)}, & {fn(n.OCV_p)}\n",
+            f"  Anode:   {n.anode}, {fn(n.rxn_n)}, & {fn(n.OCV_n)}\n",
+            f"  System:  {fn(n.D_s_eff)}, {fn(n.rxn_rate)}, {fn(n.D_eff)}, "
+            f"{fn(n.K_eff)}, & {fn(n.thermodynamic_factor)}\n",
+            "  ---Options---\n",
+            f"  Temperature:     {n.temperature}\n",
+            f"  Solid diffusion: {n.solid_diffusion}"
+            + (f", {n.Fickian_method}\n" if n.solid_diffusion == "Fickian"
+               else "\n"),
+            f"  Aging:           {n.aging}\n",
+            cap_line,
+            bound_line("Voltage", b.V_min, b.V_max, " V"),
+            bound_line("SOC", b.SOC_min, b.SOC_max),
+            bound_line("Current", b.I_min, b.I_max, "C"),
+            (bound_line("Temperature", nan, b.T_max - 273.15, " °C")
+             if n.temperature else ""),
+            bound_line("Anode sat.", nan, b.c_s_n_max),
+            "  ---Node Points---\n",
+            (f"  Pos. tab:        {N.a}\n" if n.temperature else ""),
+            f"  Pos. electrode:  {N.p}\n",
+            (f"  Pos. particles:  {N.r_p}\n"
+             if n.solid_diffusion == "Fickian" else ""),
+            f"  Separator:       {N.s}\n",
+            f"  Neg. electrode:  {N.n}\n",
+            (f"  Neg. particles:  {N.r_n}\n"
+             if n.solid_diffusion == "Fickian" else ""),
+            (f"  Neg. tab:        {N.z}\n" if n.temperature else ""),
+            f"  DAE system:      N_tot={self.cfg.layout.N_tot} "
+            f"(diff {self.cfg.layout.N_diff}, alg {self.cfg.layout.N_alg})",
+        ]
+        return "".join(lines)
 
 
 def default_dtype():
@@ -386,6 +449,18 @@ def simulate(p: Model,
         prev_I = jnp.asarray(0.0, dtype)
         has_prev = jnp.asarray(False)
         t_offset = 0.0
+
+    if opts.verbose:
+        # start-of-run header (reference prints the run object before
+        # solve!, model_evaluation.jl:73-74; method_string formatting,
+        # structures.jl:626-639)
+        if spec.func is not None:
+            desc = f"{name} function"
+        else:
+            unit = {"I": "C", "V": " V", "P": " W/m²"}.get(name, "")
+            desc = f"{name} = {float(value):g}{unit}"
+        print(f"\nRun for {desc} from t = {t_offset:.2f} s "
+              f"(SOC {float(soc0):.4f})")
 
     jac_plan = None
     if fast_solver:

@@ -115,3 +115,35 @@ def test_hermite_Y_interpolation(p):
     err_sp = np.max(np.abs(y_sp - ref.arrays["Y"])
                     / (1.0 + np.abs(ref.arrays["Y"])))
     assert err <= err_sp * 1.5
+
+
+def test_model_repr_structured(p):
+    """Model repr carries the reference's information set (structures.jl:
+    496-566): electrodes+closures, options, capacity+limiting electrode,
+    active bounds, node points."""
+    r = repr(p)
+    for frag in ("Cathode: LCO", "Anode:   LiC6", "rxn_BV", "OCV_LCO",
+                 "---Options---", "Temperature:     False",
+                 "Solid diffusion: Fickian, finite_difference",
+                 "Aging:           None",
+                 "Total capacity:", "-limited",
+                 "---Node Points---", "Pos. electrode:", "Neg. particles:",
+                 "N_tot=301"):
+        assert frag in r, frag
+    # isothermal repr shows no tab node rows; thermal does
+    assert "Pos. tab" not in r
+    rth = repr(pt.petlion(pt.LCO, temperature=True))
+    assert "Pos. tab" in rth and "Neg. tab" in rth
+    # bounds render with units when set
+    assert "V]" in r or "V users" not in r
+
+
+def test_verbose_run_header(p, capsys):
+    """verbose=True prints a start-of-run header (reference prints the run
+    object before solve!, model_evaluation.jl:73-74) and the final summary."""
+    pt.simulate(p, 50.0, I=-1, SOC=1, verbose=True)
+    out = capsys.readouterr().out
+    assert "Run for I = -1C" in out
+    assert "SOC 1.0000" in out
+    # the end-of-run solution summary still prints after it
+    assert "PETLION" in out

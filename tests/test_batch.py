@@ -200,3 +200,37 @@ def test_multichip_measurement_logic(p):
     assert per_dev.max() / per_dev.min() < 1.10, per_dev
     # (CPU wall-clock is shared across virtual devices, so rates are not
     # asserted — on real hardware `bench_multichip.py` emits efficiency)
+
+
+def test_batched_per_cell_tstops_gitt(p):
+    """Per-cell tstops/tdiscon (round-4 VERDICT directive 8): batched GITT
+    pulses whose OFF-times differ per cell must be crossed exactly — each
+    cell's own discontinuity lands on a step boundary (the reference handles
+    this per run via postfix_integrator!, model_evaluation.jl:288-310, which
+    is single-cell-only)."""
+    t_off = np.array([250.0, 450.0, 650.0])
+
+    def I_fun(t, y, yp, th):
+        return jnp.where(t < th["t_pulse_off"], -1.0, 0.0)
+
+    res = batch_simulate(
+        p, 900.0, I=I_fun, SOC=1.0,
+        theta_batch={"t_pulse_off": t_off},
+        tdiscon=t_off[:, None],          # per-cell (B, 1) discontinuities
+        outputs=("t", "I"), max_save=512)
+    assert np.all(np.isin(np.asarray(res.flag), (0,))), np.asarray(res.flag)
+    t = np.asarray(res.bufs["t"])
+    I = np.asarray(res.bufs["I"])
+    n = np.asarray(res.n_saved)
+    for i, to in enumerate(t_off):
+        ti, Ii = t[i, :n[i]], I[i, :n[i]]
+        # a recorded point lands essentially on the cell's OWN off-time
+        # (the tdiscon stop is at to - reltol/2)
+        gap = np.min(np.abs(ti - to))
+        assert gap < 1e-2, (i, to, gap)
+        # current is -1 before the pulse end and 0 after it
+        assert np.all(np.abs(Ii[(ti < to - 0.01)] + 1.0) < 1e-3), i
+        after = Ii[(ti > to + 0.5)]
+        assert after.size and np.all(np.abs(after) < 1e-3), i
+        # and the run truly integrated to tf, not stopped at the pulse
+        assert abs(ti[-1] - 900.0) < 1.0, (i, ti[-1])

@@ -63,7 +63,8 @@ BLOCKS = int(os.environ.get("PROFILE_BLOCKS", "3"))     # blocks per child
 K_SMALL = int(os.environ.get("PROFILE_K_SMALL", "4"))
 K_BIG = int(os.environ.get("PROFILE_K_BIG", "24"))
 
-COMPONENTS = ("residual", "sweeps", "factor", "solve", "newton4", "init")
+COMPONENTS = ("residual", "sweeps", "jaca", "factor", "factora", "solve",
+              "newton4", "init")
 
 
 def _build(name, K):
@@ -136,6 +137,25 @@ def _build(name, K):
         JS, last = plan.colored.compressed(g, y_)
         return JS.sum() + last.sum()
 
+    def _jaca_one(th_, y_, yp_, c0_):
+        """Analytic assembly of the same compressed Jacobian (r05)."""
+        F = F_of(th_)
+        const = yp_ - c0_ * y_
+
+        def g(yy):
+            return F(100.0, yy, c0_ * yy + const)
+        JS, last = plan.analytic.compressed(100.0, y_, c0_, th_, g)
+        return JS.sum() + last.sum()
+
+    def _factora_one(th_, y_, yp_, c0_):
+        """factor_compressed on the analytic path (r05)."""
+        F = F_of(th_)
+        const = yp_ - c0_ * y_
+
+        def g(yy):
+            return F(100.0, yy, c0_ * yy + const)
+        return plan.factor_compressed(g, y_, t=100.0, c0=c0_, th=th_)
+
     @jax.jit
     def k_factor_full(th, y, yp, c0):
         return jax.vmap(_factor_one, in_axes=(AXES, 0, 0, 0))(th, y, yp, c0)
@@ -181,6 +201,28 @@ def _build(name, K):
             def body(i, a):
                 yi = _perturb(y, i, a)
                 fac = jax.vmap(_factor_one, in_axes=(AXES, 0, 0, 0))(
+                    th, yi, yp, c0)
+                return a + jnp.tanh(_tree_sum(fac))
+            return jax.lax.fori_loop(0, K, body, acc)
+        return k, lambda t_, fac: (t_[0], t_[1], t_[2], t_[3]), False
+
+    def make_jaca():
+        @jax.jit
+        def k(acc, th, y, yp, c0):
+            def body(i, a):
+                yi = _perturb(y, i, a)
+                s = jax.vmap(_jaca_one, in_axes=(AXES, 0, 0, 0))(
+                    th, yi, yp, c0)
+                return a + jnp.tanh(s.sum())
+            return jax.lax.fori_loop(0, K, body, acc)
+        return k, lambda t_, fac: (t_[0], t_[1], t_[2], t_[3]), False
+
+    def make_factora():
+        @jax.jit
+        def k(acc, th, y, yp, c0):
+            def body(i, a):
+                yi = _perturb(y, i, a)
+                fac = jax.vmap(_factora_one, in_axes=(AXES, 0, 0, 0))(
                     th, yi, yp, c0)
                 return a + jnp.tanh(_tree_sum(fac))
             return jax.lax.fori_loop(0, K, body, acc)
@@ -232,7 +274,8 @@ def _build(name, K):
         return k, lambda t_, fac: (t_[0], t_[1]), False
 
     makers = {"residual": make_residual, "sweeps": make_sweeps,
-              "factor": make_factor, "solve": make_solve,
+              "jaca": make_jaca, "factor": make_factor,
+              "factora": make_factora, "solve": make_solve,
               "newton4": make_newton4, "init": make_init}
     kfn, pick, need_fac = makers[name]()
 
