@@ -103,6 +103,9 @@ def main():
           for slot, r in last_res.items()}
     steps = {slot: float(np.asarray(r.n_steps).mean())
              for slot, r in last_res.items()}
+    attempts = {slot: float((np.asarray(r.n_steps)
+                             + np.asarray(r.n_rejected)).mean())
+                for slot, r in last_res.items()}
     ratios = [ra / rb for ra, rb in zip(rates[0], rates[1])]
     print(json.dumps({
         "a": a, "b": b, "blocks": blocks, "reps": reps, "batch": batch,
@@ -110,7 +113,7 @@ def main():
         "ratios": [round(r, 3) for r in ratios],
         "median_rate_a": round(float(np.median(rates[0])), 1),
         "median_rate_b": round(float(np.median(rates[1])), 1),
-        "ok": ok, "mean_steps": steps,
+        "ok": ok, "mean_steps": steps, "mean_attempts": attempts,
     }), flush=True)
 
 

@@ -67,11 +67,13 @@ def cost_child():
     # kernel census from the optimized HLO: fusion computations and their
     # split across the while bodies (the round-4 "many small kernels"
     # hypothesis). HLO text is large; stream-count only.
+    # NB: HLO text puts the result shape between '=' and the opcode
+    # (`%x = f32[..] fusion(..)`), so match the bare opcode-call instead.
     txt = compiled.as_text()
-    n_fusion = len(re.findall(r"= fusion\(", txt))
-    n_while = len(re.findall(r"= while\(", txt))
-    n_custom = len(re.findall(r"= custom-call\(", txt))
-    n_dot = len(re.findall(r"= dot\(", txt))
+    n_fusion = len(re.findall(r"\bfusion\(", txt))
+    n_while = len(re.findall(r"\bwhile\(", txt))
+    n_custom = len(re.findall(r"\bcustom-call\(", txt))
+    n_dot = len(re.findall(r"\bdot\(", txt))
     out = {
         "platform": platform,
         "batch": B,
