@@ -20,10 +20,17 @@ Measurement hygiene (the remote-TPU tunnel memoizes identical
 
 Prints one JSON line per config; `python bench.py` remains the single
 headline metric for the driver.
+
+Rows merge into BENCH_SUITE.json INCREMENTALLY (by config name), so a
+tunnel crash mid-suite keeps every completed row, and
+`python bench_suite.py --only 3b,4b` re-runs just the named configs
+(cost ratios vs config 1 then use the stored config-1 row).
 """
 
 import json
+import os
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -51,185 +58,255 @@ def main():
     from petlion_tpu.protocols import batch_protocol, simulate_protocol
 
     platform = jax.devices()[0].platform
-    results = []
     rng = np.random.default_rng(12345)
+
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = {s.strip() for s in sys.argv[i + 1].split(",")}
+
+    def want(name):
+        return only is None or name.split("_")[0] in only
+
+    try:
+        with open("BENCH_SUITE.json") as f:
+            results = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        results = []
 
     def emit(name, **kw):
         out = {"config": name, "platform": platform, **kw}
-        results.append(out)
+        results[:] = [r for r in results if r.get("config") != name] + [out]
+        with open("BENCH_SUITE.json", "w") as f:
+            json.dump(results, f, indent=1)
         print(json.dumps(out), flush=True)
+
+    def stored_dt1():
+        for r in results:
+            if r.get("config") == "1_cc_discharge" and r.get("rate_per_s"):
+                return r["batch"] / r["rate_per_s"]
+        return float("nan")
 
     f32tol = dict(abstol=5e-4, reltol=1e-3)
     B = 1024
     REPS = 5
 
-    # ---- (1) 1C CC discharge, batched ------------------------------------
     p = pt.petlion(pt.LCO)
     p.opts = p.opts.replace(max_save=2, maxiters=500, **f32tol)
+    dt1 = stored_dt1()
 
-    _runner1 = make_runner(p, B)
+    if want("1_cc_discharge"):
+        # ---- (1) 1C CC discharge, batched ---------------------------------
+        _runner1 = make_runner(p, B)
 
-    def run1():
-        return _runner1(int(rng.integers(1 << 30)))
+        def run1():
+            return _runner1(int(rng.integers(1 << 30)))
 
-    run1()                       # compile + tunnel warmup
-    run1()
-    ts, last = [], None
-    for _ in range(REPS):
+        run1()                       # compile + tunnel warmup
+        run1()
+        ts, last = [], None
+        for _ in range(REPS):
+            t0 = time.time()
+            last = run1()
+            ts.append(time.time() - t0)
+        dt1 = statistics.median(ts)
+        # config 5 runs NOW, while the config-1 program is in the tunnel's
+        # steady state. Measured ordering hazards, each of which knocks the
+        # tunnel back to its ~10x-slower regime with recovery >14
+        # executions: ANY device→host np.asarray fetch (so _attempts(last)
+        # must wait), and ANY other program (so the cost-analysis AOT
+        # compile must wait too).
+        row5 = _config5(p, rng) if want("5_10k_sweep") else None
+        att1 = _attempts(last)
+        try:
+            body_flops = float(batch_cost_analysis(
+                p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=_fresh_theta(rng, B),
+                outputs=("t", "V")).get("flops", float("nan")))
+        except Exception:
+            body_flops = float("nan")
+        # body_flops counts each while_loop body once ≈ one step attempt
+        # for the whole batch with one Newton iteration; attempts are per
+        # cell, so the per-batch trip estimate is attempts/B
+        est_flops = (body_flops * (att1 / B)
+                     if body_flops == body_flops else None)
+        emit("1_cc_discharge", chemistry="LCO", batch=B,
+             rate_per_s=round(B / dt1, 1),
+             rep_times_s=[round(t, 3) for t in ts],
+             ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
+             attempts_per_s=round(att1 / dt1, 1),
+             xla_body_flops=body_flops,
+             est_flops_per_s=(round(est_flops / dt1, 1)
+                              if est_flops else None))
+
+        if row5 is not None:
+            emit("5_10k_sweep", chemistry="LCO", **row5)
+
+    if want("2_cc_cv_protocol"):
+        # ---- (2) CC-CV with per-cell V-hold switching, one jit ------------
+        segs = [dict(I=2.0, V_max=4.1, SOC_max=1.0),
+                dict(V="hold", SOC_max=1.0)]
+
+        def run2():
+            rs = batch_protocol(p, segs, SOC=0.0,
+                                theta_batch=_fresh_theta(rng, B),
+                                max_save=2, maxiters=500, **f32tol)
+            jax.block_until_ready(rs[-1].flag)
+            return rs
+
+        run2()
+        run2()
+        ts, rs = [], None
+        for _ in range(REPS):
+            t0 = time.time()
+            rs = run2()
+            ts.append(time.time() - t0)
+        cc, cv = rs
+        emit("2_cc_cv_protocol", chemistry="LCO", batch=B,
+             rate_per_s=round(B / statistics.median(ts), 1),
+             rep_times_s=[round(t, 3) for t in ts],
+             cc_exit_Vmax=float((np.asarray(cc.flag) == 2).mean()),
+             cv_exit_SOCmax=float((np.asarray(cv.flag) == 4).mean()),
+             switch_time_spread_s=float(np.asarray(cc.t_final).std()))
+
+    if want("3_thermal_cc_ct_cv"):
+        # ---- (3) thermal CC-CT-CV (golden protocol), single cell, f32 -----
+        # reference README.md:27-36: 1865.61 s, final 0.1959C — the f32 path
+        # runs since the T−T_amb state layout (tolerance-converged: ~1861 s,
+        # 0.1999C)
+        pth = pt.petlion(pt.LCO, temperature=True)
+        kw3 = dict(SOC=0.0, max_save=256, **f32tol)
+        protocol3 = [
+            dict(I=4, V_max=4.1, T_max=40 + 273.15),
+            dict(dT="hold", V_max=4.1),
+            dict(V="hold"),
+        ]
+        sol = simulate_protocol(pth, protocol3, **kw3)   # compile + warmup
         t0 = time.time()
-        last = run1()
-        ts.append(time.time() - t0)
-    dt1 = statistics.median(ts)
-    # config 5 runs NOW, while the config-1 program is in the tunnel's
-    # steady state. Measured ordering hazards, each of which knocks the
-    # tunnel back to its ~10x-slower regime with recovery >14 executions:
-    # ANY device→host np.asarray fetch (so _attempts(last) must wait), and
-    # ANY other program (so the cost-analysis AOT compile must wait too).
-    row5 = _config5(p, rng)
-    att1 = _attempts(last)
-    try:
-        body_flops = float(batch_cost_analysis(
-            p, 3.9e3, I=-1.0, SOC=1.0, theta_batch=_fresh_theta(rng, B),
-            outputs=("t", "V")).get("flops", float("nan")))
-    except Exception:
-        body_flops = float("nan")
-    # body_flops counts each while_loop body once ≈ one step attempt for the
-    # whole batch with one Newton iteration; attempts are per cell, so the
-    # per-batch trip estimate is attempts/B
-    est_flops = body_flops * (att1 / B) if body_flops == body_flops else None
-    emit("1_cc_discharge", chemistry="LCO", batch=B, rate_per_s=round(B / dt1, 1),
-         rep_times_s=[round(t, 3) for t in ts],
-         ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
-         attempts_per_s=round(att1 / dt1, 1),
-         xla_body_flops=body_flops,
-         est_flops_per_s=(round(est_flops / dt1, 1) if est_flops else None))
+        sol = simulate_protocol(pth, protocol3, **kw3)
+        wall = time.time() - t0
+        emit("3_thermal_cc_ct_cv", chemistry="LCO",
+             t_sim=round(float(sol.t[-1]), 2),
+             I_final=round(float(sol.I[-1]), 4),
+             exit=sol.final_exit_reason(), wall_s=round(wall, 2),
+             ref_t_sim=1865.61, ref_I_final=0.1959,
+             within_1pct=bool(
+                 abs(float(sol.t[-1]) - 1865.61) / 1865.61 < 0.01))
 
-    emit("5_10k_sweep", chemistry="LCO", **row5)
+    if want("3b_thermal_discharge_batched"):
+        # ---- (3b) thermal 1C discharge, BATCHED (round-4 VERDICT dir. 4) --
+        # The f32-thermal path routes every attempt through a dense pivoted
+        # RefinedLU (plan.py) and takes ~3-8x more step rejections on TPU,
+        # so a full batched thermal discharge in ONE execution runs many
+        # seconds — which the remote tunnel kills (measured: UNAVAILABLE
+        # device error at B=256, single-execution). The discharge therefore
+        # runs as NC sequential time chunks with y/soc carry-over (fresh
+        # consistent init per chunk, like simulate_cont); the reported wall
+        # includes every chunk dispatch. Cells that exit inside chunk k
+        # re-cross their bound at the first accepted step of chunk k+1, so
+        # the lockstep resume waste is a few attempts per finished cell.
+        from petlion_tpu.parallel.batch import _prepare_batch, _batch_core
+        pth3 = pt.petlion(pt.LCO, temperature=True)
+        Bt = int(os.environ.get("PETLION_SUITE_BT", "32"))
+        NC = int(os.environ.get("PETLION_SUITE_NC", "16"))
+        tf_ch = 250.0
 
-    # ---- (2) CC-CV with per-cell V-hold switching, one jit ----------------
-    segs = [dict(I=2.0, V_max=4.1, SOC_max=1.0), dict(V="hold", SOC_max=1.0)]
+        def run3b(tag):
+            tb = _fresh_theta(rng, Bt)
+            args, statics = _prepare_batch(
+                pth3, tf_ch, I=-1.0, SOC=1.0, theta_batch=tb,
+                outputs=("t", "V"), max_save=2, maxiters=500, **f32tol)
+            y, soc = args[0], args[1]
+            rest = args[2:]
+            rs = []
+            for c in range(NC):
+                t0 = time.time()
+                r = _batch_core(y, soc, *rest, **statics)
+                jax.block_until_ready(r.flag)   # per-chunk sync: keeps each
+                # tunnel execution short AND gives live progress below
+                y, soc = r.y_final, r.soc_final
+                rs.append(r)
+                print(f"# 3b {tag} chunk {c + 1}/{NC} "
+                      f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+            return rs
 
-    def run2():
-        rs = batch_protocol(p, segs, SOC=0.0,
-                            theta_batch=_fresh_theta(rng, B),
-                            max_save=2, maxiters=500, **f32tol)
-        jax.block_until_ready(rs[-1].flag)
-        return rs
+        run3b("compile+warm")                        # compile + warmup
+        ts, last = [], None
+        for i in range(2):
+            t0 = time.time()
+            last = run3b(f"rep{i}")
+            ts.append(time.time() - t0)
+        dt3b = statistics.median(ts)
+        flags = np.stack([np.asarray(r.flag) for r in last])   # (NC, Bt)
+        done = np.isin(flags, (1, 3)).any(axis=0)    # V_min / SOC_min exit
+        att3b = sum(_attempts(r) for r in last)
+        emit("3b_thermal_discharge_batched", chemistry="LCO", batch=Bt,
+             chunks=NC, chunk_tf_s=tf_ch,
+             rate_per_s=round(Bt / dt3b, 1),
+             rep_times_s=[round(t, 3) for t in ts],
+             ok=float(done.mean()),
+             attempts_per_cell=round(att3b / Bt, 1),
+             attempts_per_s=round(att3b / dt3b, 1),
+             thermal_cost_vs_isothermal=(
+                 round((B / dt1) / (Bt / dt3b), 2)
+                 if dt1 == dt1 else None))
 
-    run2()
-    run2()
-    ts, rs = [], None
-    for _ in range(REPS):
+    if want("4_sei_cycling") or want("4b_sei_discharge_batched"):
+        # BASELINE.md row 4: "NMC with SEI aging, repeated cycling"
+        page = pt.petlion(pt.NMC, aging="SEI")
+
+    if want("4_sei_cycling"):
+        # ---- (4) NMC + SEI aging, cycling with carry-over -----------------
+        def run4():
+            s = pt.simulate(page, I=1, SOC=0.3, SOC_max=0.9, V_max=4.25,
+                            outputs=("t", "V", "SOH"), **f32tol)
+            for _ in range(3):
+                s = pt.simulate_cont(s, page, I=-1, SOC_min=0.3, V_min=2.8)
+                s = pt.simulate_cont(s, page, I=1, SOC_max=0.9, V_max=4.25)
+            return s
+
+        sol = run4()                 # compile + warmup
         t0 = time.time()
-        rs = run2()
-        ts.append(time.time() - t0)
-    cc, cv = rs
-    emit("2_cc_cv_protocol", chemistry="LCO", batch=B,
-         rate_per_s=round(B / statistics.median(ts), 1),
-         rep_times_s=[round(t, 3) for t in ts],
-         cc_exit_Vmax=float((np.asarray(cc.flag) == 2).mean()),
-         cv_exit_SOCmax=float((np.asarray(cv.flag) == 4).mean()),
-         switch_time_spread_s=float(np.asarray(cc.t_final).std()))
+        sol = run4()
+        wall = time.time() - t0
+        soh = np.asarray(sol.arrays["SOH"])
+        emit("4_sei_cycling", chemistry="NMC", cycles=3.5,
+             soh_final=round(float(soh[-1].ravel()[0]), 6),
+             soh_monotone=bool(np.all(np.diff(soh[:, 0]) <= 1e-12)),
+             exits=sol.exit_reasons(),
+             wall_s=round(wall, 2))
 
-    # ---- (3) thermal CC-CT-CV (golden protocol), single cell, f32 ---------
-    # reference README.md:27-36: 1865.61 s, final 0.1959C — the f32 path runs
-    # since the T−T_amb state layout (tolerance-converged: ~1861 s, 0.1999C)
-    pth = pt.petlion(pt.LCO, temperature=True)
-    kw3 = dict(SOC=0.0, max_save=256, **f32tol)
-    protocol3 = [
-        dict(I=4, V_max=4.1, T_max=40 + 273.15),
-        dict(dT="hold", V_max=4.1),
-        dict(V="hold"),
-    ]
-    sol = simulate_protocol(pth, protocol3, **kw3)   # compile + warmup
-    t0 = time.time()
-    sol = simulate_protocol(pth, protocol3, **kw3)
-    wall = time.time() - t0
-    emit("3_thermal_cc_ct_cv", chemistry="LCO", t_sim=round(float(sol.t[-1]), 2),
-         I_final=round(float(sol.I[-1]), 4),
-         exit=sol.final_exit_reason(), wall_s=round(wall, 2),
-         ref_t_sim=1865.61, ref_I_final=0.1959,
-         within_1pct=bool(abs(float(sol.t[-1]) - 1865.61) / 1865.61 < 0.01))
+    if want("4b_sei_discharge_batched"):
+        # ---- (4b) NMC + SEI 1C discharge, BATCHED (round-4 VERDICT dir. 4)
+        # per-cell ±5% θ perturbations around the NMC values (fresh per rep)
+        from petlion_tpu.parallel.batch import batch_simulate
+        Bs = 256
+        swept4 = {k: page.theta[k] for k in ("D_sp", "D_sn", "k_p", "k_n")}
 
-    # ---- (3b) thermal 1C discharge, BATCHED (round-4 VERDICT dir. 4) ------
-    # the f32-thermal path routes every attempt through a dense pivoted
-    # RefinedLU (plan.py) and takes ~3-8x more step rejections on TPU; this
-    # row measures that BATCHED cost next to the isothermal config-1 rate.
-    Bt = 256
-    pth.opts = pth.opts.replace(max_save=2, maxiters=500, **f32tol)
-    runner3b = make_runner(pth, Bt)      # same canonical program, thermal p
-    runner3b(int(rng.integers(1 << 30)))             # compile + warmup
-    runner3b(int(rng.integers(1 << 30)))
-    ts, last = [], None
-    for _ in range(3):
-        t0 = time.time()
-        last = runner3b(int(rng.integers(1 << 30)))
-        ts.append(time.time() - t0)
-    dt3b = statistics.median(ts)
-    emit("3b_thermal_discharge_batched", chemistry="LCO", batch=Bt,
-         rate_per_s=round(Bt / dt3b, 1),
-         rep_times_s=[round(t, 3) for t in ts],
-         ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
-         attempts_per_cell=round(_attempts(last) / Bt, 1),
-         attempts_per_s=round(_attempts(last) / dt3b, 1),
-         thermal_cost_vs_isothermal=round((B / dt1) / (Bt / dt3b), 2))
+        def run4b():
+            tb = {k: v * (1 + 0.05 * rng.standard_normal(Bs))
+                  for k, v in swept4.items()}
+            r = batch_simulate(page, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
+                               outputs=("t", "V"), max_save=2, maxiters=500,
+                               **f32tol)
+            jax.block_until_ready(r.flag)
+            return r
 
-    # ---- (4) NMC + SEI aging, cycling with carry-over ---------------------
-    # BASELINE.md row 4: "NMC with SEI aging, repeated cycling"
-    page = pt.petlion(pt.NMC, aging="SEI")
-
-    def run4():
-        s = pt.simulate(page, I=1, SOC=0.3, SOC_max=0.9, V_max=4.25,
-                        outputs=("t", "V", "SOH"), **f32tol)
+        run4b()                                          # compile + warmup
+        run4b()
+        ts, last = [], None
         for _ in range(3):
-            s = pt.simulate_cont(s, page, I=-1, SOC_min=0.3, V_min=2.8)
-            s = pt.simulate_cont(s, page, I=1, SOC_max=0.9, V_max=4.25)
-        return s
-
-    sol = run4()                 # compile + warmup
-    t0 = time.time()
-    sol = run4()
-    wall = time.time() - t0
-    soh = np.asarray(sol.arrays["SOH"])
-    emit("4_sei_cycling", chemistry="NMC", cycles=3.5,
-         soh_final=round(float(soh[-1].ravel()[0]), 6),
-         soh_monotone=bool(np.all(np.diff(soh[:, 0]) <= 1e-12)),
-         exits=sol.exit_reasons(),
-         wall_s=round(wall, 2))
-
-    # ---- (4b) NMC + SEI 1C discharge, BATCHED (round-4 VERDICT dir. 4) ----
-    # per-cell ±5% θ perturbations around the NMC values (fresh per rep)
-    from petlion_tpu.parallel.batch import batch_simulate
-    Bs = 256
-    swept4 = {k: page.theta[k] for k in ("D_sp", "D_sn", "k_p", "k_n")}
-
-    def run4b():
-        tb = {k: v * (1 + 0.05 * rng.standard_normal(Bs))
-              for k, v in swept4.items()}
-        r = batch_simulate(page, 3.9e3, I=-1.0, SOC=1.0, theta_batch=tb,
-                           outputs=("t", "V"), max_save=2, maxiters=500,
-                           **f32tol)
-        jax.block_until_ready(r.flag)
-        return r
-
-    run4b()                                          # compile + warmup
-    run4b()
-    ts, last = [], None
-    for _ in range(3):
-        t0 = time.time()
-        last = run4b()
-        ts.append(time.time() - t0)
-    dt4b = statistics.median(ts)
-    emit("4b_sei_discharge_batched", chemistry="NMC", batch=Bs,
-         rate_per_s=round(Bs / dt4b, 1),
-         rep_times_s=[round(t, 3) for t in ts],
-         ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
-         attempts_per_cell=round(_attempts(last) / Bs, 1),
-         attempts_per_s=round(_attempts(last) / dt4b, 1),
-         sei_cost_vs_isothermal=round((B / dt1) / (Bs / dt4b), 2))
-
-    with open("BENCH_SUITE.json", "w") as f:
-        json.dump(results, f, indent=1)
+            t0 = time.time()
+            last = run4b()
+            ts.append(time.time() - t0)
+        dt4b = statistics.median(ts)
+        emit("4b_sei_discharge_batched", chemistry="NMC", batch=Bs,
+             rate_per_s=round(Bs / dt4b, 1),
+             rep_times_s=[round(t, 3) for t in ts],
+             ok=float(np.isin(np.asarray(last.flag), (0, 1, 3)).mean()),
+             attempts_per_cell=round(_attempts(last) / Bs, 1),
+             attempts_per_s=round(_attempts(last) / dt4b, 1),
+             sei_cost_vs_isothermal=(round((B / dt1) / (Bs / dt4b), 2)
+                                     if dt1 == dt1 else None))
 
 
 def _config5(p, rng):
