@@ -200,8 +200,12 @@ def batch_child():
     # MANY blocks (the plateau-drift defense); headline = median block.
     # NOTHING ELSE runs in this process and nothing is fetched until all
     # blocks are timed (see module docstring).
-    blocks = 8 if on_tpu else 1
-    reps = 15 if on_tpu else 3
+    # 6 blocks x 25 reps: a block is the unit of the drift check, so it
+    # must average over the tunnel's few-second transients (15-rep blocks
+    # measured spread 1.35 from one dip while 3 independent sessions
+    # agreed within 1.21 — the dip is block noise, not program drift)
+    blocks = 6 if on_tpu else 1
+    reps = 25 if on_tpu else 3
     kept = []
     block_walls = []
     for b in range(blocks):

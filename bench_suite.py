@@ -221,12 +221,18 @@ def main():
             for c in range(NC):
                 t0 = time.time()
                 r = _batch_core(y, soc, *rest, **statics)
-                jax.block_until_ready(r.flag)   # per-chunk sync: keeps each
-                # tunnel execution short AND gives live progress below
+                jax.block_until_ready(r.flag)
                 y, soc = r.y_final, r.soc_final
                 rs.append(r)
                 print(f"# 3b {tag} chunk {c + 1}/{NC} "
                       f"{time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+            # block_until_ready through the remote tunnel does NOT actually
+            # synchronize chained executions (measured: 48 chunks "completed"
+            # in 0.17 s, then ~8 min of queue drain during the stat fetches)
+            # — force a REAL sync with a host fetch so the rep wall is
+            # honest. The fetch costs the process its fast plateau, so every
+            # pass pays it identically (comparable walls, conservative rate).
+            np.asarray(rs[-1].flag)
             return rs
 
         run3b("compile+warm")                        # compile + warmup
@@ -240,7 +246,7 @@ def main():
         done = np.isin(flags, (1, 3)).any(axis=0)    # V_min / SOC_min exit
         att3b = sum(_attempts(r) for r in last)
         emit("3b_thermal_discharge_batched", chemistry="LCO", batch=Bt,
-             chunks=NC, chunk_tf_s=tf_ch,
+             chunks=NC, chunk_tf_s=tf_ch, sync="host-fetch-per-pass",
              rate_per_s=round(Bt / dt3b, 1),
              rep_times_s=[round(t, 3) for t in ts],
              ok=float(done.mean()),
